@@ -1,0 +1,116 @@
+"""Long-audio HuBERT feature extraction with static-shape chunking.
+
+Reference algorithm (trainers/ddpm_beat_trainer.py:1429-1475 and
+datasets/extract_hubert.py:18-63): the conv frontend is equivalent to one
+Conv1d with kernel 400 / stride 320, so long audio is cut into chunks of
+``320*1000`` samples extended by ``kernel - stride`` to avoid frame overlap,
+encoded independently, concatenated, then padded/trimmed to the expected
+``(N - 80) // 320`` frames.
+
+TPU adaptation: every chunk (including the remainder) is padded to the same
+static length and encoded by ONE vmapped/batched jit call; padded frames are
+sliced off afterwards.  Features are then linearly resampled to the motion
+frame rate (align_corners=True, matching F.interpolate at
+ddpm_beat_trainer.py:1265).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffsheg_tpu.models.hubert import HubertModel, HubertConfig, normalize_waveform
+
+KERNEL = 400
+STRIDE = 320
+CLIP_FRAMES = 1000
+CLIP_SAMPLES = STRIDE * CLIP_FRAMES          # 320_000
+CHUNK_SAMPLES = CLIP_SAMPLES - STRIDE + KERNEL  # 320_080
+
+
+def expected_frames(num_samples: int) -> int:
+    return (num_samples - (KERNEL - STRIDE)) // STRIDE
+
+
+def linear_resample(x: jax.Array, new_len: int) -> jax.Array:
+    """torch.nn.functional.interpolate(mode='linear', align_corners=True)
+    along axis 1 of (B, T, C)."""
+    B, T, C = x.shape
+    if T == new_len:
+        return x
+    pos = jnp.linspace(0.0, T - 1.0, new_len)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, T - 1)
+    w = (pos - lo)[None, :, None]
+    return x[:, lo] * (1.0 - w) + x[:, hi] * w
+
+
+class HubertFeatureExtractor:
+    """Chunked long-audio HuBERT driver around a jitted encoder."""
+
+    def __init__(self, cfg: Optional[HubertConfig] = None, variables=None,
+                 rng: Optional[jax.Array] = None):
+        self.cfg = cfg or HubertConfig()
+        self.model = HubertModel(self.cfg)
+        if variables is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            variables = self.model.init(rng, jnp.zeros((1, KERNEL * 4)))
+        self.variables = variables
+        self._encode = jax.jit(
+            lambda v, x: self.model.apply(v, x)
+        )
+
+    def __call__(self, audio_16k: jax.Array,
+                 target_frames: Optional[int] = None) -> jax.Array:
+        """audio (N,) or (1, N) float32 at 16 kHz -> (1, T, 1024).
+
+        ``target_frames`` resamples the features to the motion frame count.
+        """
+        if audio_16k.ndim == 1:
+            audio_16k = audio_16k[None]
+        audio_16k = normalize_waveform(audio_16k)
+        n = audio_16k.shape[1]
+        exp_t = expected_frames(n)
+
+        num_full = n // CLIP_SAMPLES
+        chunks = []
+        for i in range(num_full):
+            start = CLIP_SAMPLES * i
+            chunks.append(jax.lax.dynamic_slice_in_dim(
+                audio_16k, start, CHUNK_SAMPLES
+                if start + CHUNK_SAMPLES <= n else n - start, axis=1))
+        rest_start = CLIP_SAMPLES * num_full
+        rest = audio_16k[:, rest_start:]
+        if rest.shape[1] >= KERNEL:
+            chunks.append(rest)
+        if not chunks:  # audio shorter than one kernel: no frames
+            return jnp.zeros((1, target_frames or 0, self.cfg.hidden_size))
+
+        # static-shape batch: right-pad every chunk to CHUNK_SAMPLES
+        padded = []
+        valid_frames = []
+        for ch in chunks:
+            L = ch.shape[1]
+            valid_frames.append((L - KERNEL) // STRIDE + 1)
+            if L < CHUNK_SAMPLES:
+                ch = jnp.pad(ch, ((0, 0), (0, CHUNK_SAMPLES - L)))
+            padded.append(ch)
+        batchd = jnp.concatenate(padded, axis=0)  # (num_chunks, CHUNK_SAMPLES)
+        feats = self._encode(self.variables, batchd)  # (num_chunks, F, 1024)
+
+        parts = [feats[i, :vf] for i, vf in enumerate(valid_frames)]
+        seq = jnp.concatenate(parts, axis=0)[None]  # (1, T', 1024)
+
+        # pad/trim to the analytic frame count (ddpm_beat_trainer.py:1470-1474)
+        T = seq.shape[1]
+        if T < exp_t:
+            seq = jnp.pad(seq, ((0, 0), (0, exp_t - T), (0, 0)))
+        else:
+            seq = seq[:, :exp_t]
+
+        if target_frames is not None:
+            seq = linear_resample(seq, target_frames)
+        return seq

@@ -1,0 +1,222 @@
+"""Typed configuration for diffsheg_tpu.
+
+The reference drives everything through ~90 argparse flags plus per-dataset
+constants injected in code (reference: options/base_options.py:13-148 and
+runner.py:124-225).  Here the same behavioural surface is expressed as frozen
+dataclasses with two presets (``beat_config``, ``show_config``) reproducing the
+shipped experiment configurations.
+
+All fields that alter traced computation are static Python values, so a config
+hash keys the jit cache naturally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser (UniDiffuser) architecture.
+
+    Mirrors reference models/transformer.py:349-770 defaults as instantiated by
+    runner.py:32-58 (latent 512, 8 layers, 8 heads, ffn 1024, mel 128 -> audio
+    latent 256, HuBERT 1024 -> 128 conv encoder).
+    """
+
+    pose_dim: int = 141          # gesture channels (BEAT axis-angle 47 joints x 3)
+    expression_dim: int = 51     # face channels (ARKit-style blendshapes)
+    latent_dim: int = 512
+    num_layers: int = 8
+    num_heads: int = 8
+    ff_size: int = 1024
+    audio_dim: int = 128         # mel bins
+    aud_latent_dim: int = 256
+    style_dim: int = 30          # number of speakers (one-hot)
+    max_seq_len: int = 600       # sinusoidal PE table period (pe_sinu)
+    pe_type: str = "pe_sinu"     # {'learnable','ppe_sinu','pe_sinu','pe_sinu_repeat'}
+    dropout: float = 0.0
+    # conditioning wiring (reference flags --cond_projection/--cond_residual,
+    # --addHubert/--encode_hubert; defaults per base_options.py:21-22,95,98)
+    cond_projection: str = "mlp_includeX"
+    cond_residual: bool = True
+    add_hubert: bool = True
+    encode_hubert: bool = True
+    hubert_dim: int = 1024
+    hubert_latent_dim: int = 128
+    # classifier-free guidance (base_options.py:106-108)
+    classifier_free: bool = False
+    null_cond_prob: float = 0.2
+    cond_scale: float = 1.0
+    # ablation switches honoured for parity
+    expr_id_off: bool = False    # --ExprID_off: expression branch has no speaker embed
+    no_style: bool = False       # --remove_style semantics are handled at input level
+    compute_dtype: str = "float32"  # dtype for matmuls inside the denoiser
+
+    @property
+    def motion_dim(self) -> int:
+        """Total denoised channel count (gesture ++ expression)."""
+        return self.pose_dim + self.expression_dim
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.latent_dim * 4
+
+    @property
+    def uses_cfg_at_inference(self) -> bool:
+        return self.classifier_free and self.cond_scale != 1.0
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Forward/reverse process (reference models/gaussian_diffusion.py:234-278,
+    trainers/ddpm_beat_trainer.py:55-86)."""
+
+    num_steps: int = 1000
+    beta_schedule: str = "linear"        # {'linear','cosine'}
+    mean_type: str = "epsilon"           # {'epsilon','start_x','previous_x'}
+    var_type: str = "fixed_small"        # {'fixed_small','fixed_large'}
+    respacing: str = "ddim25"            # '' = no respacing; 'ddimN' or 'a,b,c'
+    # RePaint resampling knobs (base_options.py:127-128)
+    jump_length: int = 3
+    jump_n_sample: int = 5
+    no_resample: bool = False
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Arbitrary-length windowed-outpainting generation
+    (reference trainers/ddpm_beat_trainer.py:1123-1346)."""
+
+    overlap_len: int = 4
+    add_blend: bool = True        # linear cross-fade at low noise (--addBlend)
+    fix_very_first: bool = False  # pin the first window's head to GT
+    no_repaint: bool = False      # disable the harmonize (jump) schedule
+    same_overlap_noisy: bool = False
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset-dependent constants (reference runner.py:124-225)."""
+
+    dataset_name: str = "beat"
+    fps: int = 15
+    n_poses: int = 34            # training window length (frames)
+    stride: int = 10             # cache windowing stride
+    audio_sr: int = 16000        # raw audio rate for HuBERT
+    mel_sr: int = 18000          # mel frontend rate
+    mel_hop: int = 1200          # = mel_sr / fps
+    n_mels: int = 128
+    speaker_dim: int = 30
+    data_root: str = "data/BEAT"
+    cache_name: str = "beat_4english_15_141"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation settings (reference ddpm_beat_trainer.py:126-128,222-260,343)."""
+
+    batch_size: int = 2500       # global batch, sharded over the data mesh axis
+    num_epochs: int = 1000
+    lr: float = 2e-4
+    grad_clip: float = 0.5
+    # loss weights. NOTE: the reference *logs* 100*vel but adds the
+    # unweighted velocity term to the objective (ddpm_beat_trainer.py:245-247)
+    # while x0 gets the full 100x (:255-257); we match the actual objective.
+    eps_weight: float = 1000.0
+    vel_weight: float = 1.0
+    x0_weight: float = 100.0
+    huber_beta: float = 0.1      # smooth-L1 transition (loss_factory.py:19-27)
+    vel_loss_start: int = -1     # epoch gate for velocity/x0 terms
+    use_sem_weighting: bool = True  # BEAT: scale huber(x0) by (semantic score + 1)
+    log_every: int = 50
+    save_every_epochs: int = 20
+    eval_every_epochs: int = 40
+    seed: int = 0
+    checkpoints_dir: str = "checkpoints"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. The model is small (~50-100M params) so data
+    parallelism over ICI is the production layout; the fsdp axis exists for
+    memory-constrained scaling experiments."""
+
+    data_axis: str = "data"
+    fsdp_axis: str = "fsdp"
+    data_parallel: int = -1      # -1 = all devices
+    fsdp_parallel: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level experiment config."""
+
+    name: str = "beat_diffsheg_tpu"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    stream: StreamConfig = field(default_factory=StreamConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+        return Config(
+            name=raw.get("name", "unnamed"),
+            model=ModelConfig(**raw.get("model", {})),
+            diffusion=DiffusionConfig(**raw.get("diffusion", {})),
+            stream=StreamConfig(**raw.get("stream", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            mesh=MeshConfig(**raw.get("mesh", {})),
+        )
+
+
+def beat_config(**overrides) -> Config:
+    """BEAT preset: 141-d gesture + 51-d face @ 15 fps, 34-frame windows
+    (reference runner.py:124-187, train_test_scripts.sh:4-15)."""
+    cfg = Config(
+        name="beat_diffsheg_tpu",
+        model=ModelConfig(
+            pose_dim=141, expression_dim=51, style_dim=30,
+        ),
+        data=DataConfig(
+            dataset_name="beat", fps=15, n_poses=34, stride=10,
+            speaker_dim=30, mel_sr=18000, mel_hop=1200,
+        ),
+        stream=StreamConfig(overlap_len=4),
+        train=TrainConfig(batch_size=2500, num_epochs=1000),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def show_config(**overrides) -> Config:
+    """SHOW/TalkSHOW preset: 129-d SMPL-X pose + 103-d jaw/expression @ 30 fps,
+    88-frame windows, classifier-free guidance (reference runner.py:189-222,
+    inference_custom_audio_show.sh)."""
+    cfg = Config(
+        name="talkshow_diffsheg_tpu",
+        model=ModelConfig(
+            pose_dim=129, expression_dim=103, style_dim=4,
+            classifier_free=True, cond_scale=1.15,
+        ),
+        data=DataConfig(
+            dataset_name="talkshow", fps=30, n_poses=88, stride=10,
+            speaker_dim=4, mel_sr=18000, mel_hop=600,
+            data_root="data/SHOW", cache_name="talkshow_cache",
+        ),
+        stream=StreamConfig(overlap_len=10),
+        train=TrainConfig(batch_size=950, num_epochs=4000, use_sem_weighting=False),
+    )
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,84 @@
+"""Training losses for the joint denoiser.
+
+Reproduces the reference objective (trainers/ddpm_beat_trainer.py:222-260 on
+top of gaussian_diffusion.py:1319-1426):
+
+    L = 1000 * masked-MSE(eps)                      (loss_model_pred)
+      + 100  * MSE(velocity of predicted x0)        (loss_vel_rec, epoch-gated)
+      + 100  * Huber_0.1(x0 * (sem + 1))            (loss_x0_rec, BEAT only)
+
+All terms are pure functions of (model output, batch, schedule); the train
+step wraps them under jit/grad with the data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffsheg_tpu.config import TrainConfig
+from diffsheg_tpu.diffusion.schedule import DiffusionSchedule
+
+
+class LossTerms(NamedTuple):
+    total: jax.Array
+    eps_mse: jax.Array
+    vel_mse: jax.Array
+    x0_huber: jax.Array
+
+
+def huber(pred: jax.Array, target: jax.Array, beta: float) -> jax.Array:
+    """smooth_l1(pred/beta, target/beta) * beta, mean reduction
+    (reference trainers/loss_factory.py:19-27)."""
+    d = jnp.abs(pred - target) / beta
+    per_elem = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5) * beta
+    return per_elem.mean()
+
+
+def masked_time_mean(per_frame: jax.Array, mask: jax.Array) -> jax.Array:
+    """(B, T) values averaged over valid frames ((loss * mask).sum / mask.sum),
+    reference ddpm_beat_trainer.py:232."""
+    return (per_frame * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def diffusion_loss(
+    sched: DiffusionSchedule,
+    model_out: jax.Array,      # (B, T, C) predicted epsilon
+    x_start: jax.Array,        # (B, T, C)
+    x_t: jax.Array,            # (B, T, C)
+    t: jax.Array,              # (B,)
+    noise: jax.Array,          # (B, T, C)
+    cfg: TrainConfig,
+    src_mask: Optional[jax.Array] = None,   # (B, T)
+    sem_score: Optional[jax.Array] = None,  # (B, T) semantic relevance
+    vel_loss_active: bool = True,
+) -> LossTerms:
+    B, T, _ = x_start.shape
+    mask = jnp.ones((B, T)) if src_mask is None else src_mask
+
+    # epsilon MSE, channel-mean then masked frame-mean
+    eps_mse = masked_time_mean(((model_out - noise) ** 2).mean(-1), mask)
+    eps_term = cfg.eps_weight * eps_mse
+
+    pred_x0 = sched.predict_xstart_from_eps(x_t, t, model_out)
+
+    # velocity of x0 (frame differences), masked over T-1 frames
+    vel_target = x_start[:, :-1] - x_start[:, 1:]
+    vel_pred = pred_x0[:, :-1] - pred_x0[:, 1:]
+    vel_mse = masked_time_mean(((vel_pred - vel_target) ** 2).mean(-1),
+                               mask[:, :-1])
+
+    # x0 huber, semantically weighted on BEAT (ddpm_beat_trainer.py:250-253)
+    if cfg.use_sem_weighting and sem_score is not None:
+        w = sem_score[..., None] + 1.0
+        x0_h = huber(pred_x0 * w, x_start * w, cfg.huber_beta)
+    else:
+        x0_h = huber(pred_x0, x_start, cfg.huber_beta)
+
+    if vel_loss_active:
+        total = eps_term + cfg.vel_weight * vel_mse + cfg.x0_weight * x0_h
+    else:
+        total = eps_term
+    return LossTerms(total=total, eps_mse=eps_mse, vel_mse=vel_mse, x0_huber=x0_h)

@@ -1,0 +1,206 @@
+"""The per-branch motion denoiser (expression or gesture).
+
+Re-design of reference ``MotionTransformer`` (models/transformer.py:349-587):
+a stack of condition-injecting linear-attention layers driven by a fused
+time(+speaker) embedding, with an optional HuBERT conv encoder and
+classifier-free guidance.
+
+Differences from the reference in *mechanism*, not behaviour:
+  - CFG batch-doubling (:537-544) and the guidance merge (:585-587) are
+    explicit, statically-shaped ops here (``cfg_inference`` flag) rather than
+    mutable ``opt`` state.
+  - The train-time null-condition rows use the reference's deterministic
+    ``linspace(0,1,B) < p`` rule (:328) — reproduced exactly (it is *not*
+    Bernoulli dropout) so converted checkpoints behave identically.
+  - Positional tables are trace-time constants from static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffsheg_tpu.models.blocks import DiffusionTransformerLayer, gelu_exact
+from diffsheg_tpu.models.embeddings import timestep_embedding, positional_encoding
+
+
+class TimeEmbedMLP(nn.Module):
+    """Dense -> SiLU -> Dense (reference models/transformer.py:446-450)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+
+
+class HubertConvEncoder(nn.Module):
+    """1024-d HuBERT features -> 128-d: Conv(k3) + BN + GELU + Conv(k3)
+    (reference models/transformer.py:436-442).  Channel-last layout."""
+
+    out_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Conv(self.out_dim, (3,), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
+        )(x)
+        x = gelu_exact(x)
+        x = nn.Conv(self.out_dim, (3,), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        return x
+
+
+class MotionDenoiser(nn.Module):
+    """One denoising branch.
+
+    Inputs per call:
+      x          (B, T, input_feats)  noisy motion channels
+      t          (B,)                 original-process timesteps (for the embedding)
+      audio      (B, T, audio_dim)    mel ++ encoded-audio latent (256-d)
+      hubert     (B, T, 1024) | None  pretrained speech features
+      exp_cond   (B, T, E) | None     predicted expression x0 (gesture branch)
+      person_id  (B, style_dim)       speaker one-hot
+    """
+
+    input_feats: int
+    audio_dim: int = 256           # branch-level conditioning width (mel*2)
+    aud_latent_dim: int = 256
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 8
+    style_dim: int = 30
+    max_frames: int = 240
+    pe_type: str = "pe_sinu"
+    max_seq_len: int = 600
+    use_pid_embed: bool = True     # False when ExprID_off on the expression branch
+    encode_hubert: bool = True
+    hubert_latent_dim: int = 128
+    classifier_free: bool = False
+    null_cond_prob: float = 0.2
+    cond_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.latent_dim * 4
+
+    def pre_proj_dim(self, has_hubert: bool, exp_cond_dim: int) -> int:
+        d = self.latent_dim + self.aud_latent_dim + exp_cond_dim
+        if has_hubert:
+            d += self.hubert_latent_dim
+        return d
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        audio: jax.Array,
+        person_id: jax.Array,
+        hubert: Optional[jax.Array] = None,
+        exp_cond: Optional[jax.Array] = None,
+        src_mask: Optional[jax.Array] = None,
+        train: bool = False,
+        cfg_inference: bool = False,
+    ) -> jax.Array:
+        B, T, _ = x.shape
+        compute = self.dtype
+
+        if src_mask is None:
+            src_mask = jnp.ones((B, T, 1), dtype=compute)
+
+        # --- encode extra conditions ------------------------------------
+        cond_parts = []
+        if hubert is not None:
+            if self.encode_hubert:
+                hubert = HubertConvEncoder(
+                    self.hubert_latent_dim, dtype=compute, name="hubert_encoder"
+                )(hubert.astype(compute), train=train)
+            cond_parts.append(hubert)
+        if exp_cond is not None:
+            cond_parts.append(exp_cond.astype(compute))
+
+        # --- classifier-free guidance batch handling --------------------
+        null_cond_mask = None
+        if self.classifier_free and train:
+            # Deterministic first-fraction rule (transformer.py:328).
+            null_cond_mask = jnp.linspace(0.0, 1.0, B) < self.null_cond_prob
+        do_cfg = cfg_inference and self.classifier_free and self.cond_scale != 1.0
+        if do_cfg:
+            x = jnp.concatenate([x, x], axis=0)
+            t = jnp.concatenate([t, t], axis=0)
+            audio = jnp.concatenate([audio, audio], axis=0)
+            person_id = jnp.concatenate([person_id, person_id], axis=0)
+            src_mask = jnp.concatenate([src_mask, src_mask], axis=0)
+            cond_parts = [jnp.concatenate([c, c], axis=0) for c in cond_parts]
+            # First half unconditional (transformer.py:331: linspace(0,1,2B)<0.5).
+            null_cond_mask = jnp.linspace(0.0, 1.0, 2 * B) < 0.5
+
+        null_cond_emb = None
+        if self.classifier_free:
+            exp_cond_dim = 0 if exp_cond is None else exp_cond.shape[-1]
+            null_cond_emb = self.param(
+                "null_cond_emb",
+                nn.initializers.normal(1.0),
+                (1, self.pre_proj_dim(hubert is not None, exp_cond_dim)),
+            )
+
+        # --- embeddings --------------------------------------------------
+        emb = TimeEmbedMLP(self.time_embed_dim, dtype=compute, name="time_embed")(
+            timestep_embedding(t, self.latent_dim).astype(compute)
+        )
+        if self.use_pid_embed:
+            emb = emb + TimeEmbedMLP(
+                self.time_embed_dim, dtype=compute, name="pid_embed"
+            )(person_id.astype(compute))
+
+        h = nn.Dense(self.latent_dim, dtype=compute, name="joint_embed")(
+            x.astype(compute)
+        )
+        if self.pe_type == "learnable":
+            pe = self.param(
+                "sequence_embedding",
+                nn.initializers.normal(1.0),
+                (self.max_frames, self.latent_dim),
+            )
+            h = h + pe[None, :T, :].astype(compute)
+        else:
+            table = positional_encoding(
+                self.pe_type, T, self.latent_dim, self.max_seq_len
+            )
+            h = h + jnp.asarray(table, dtype=compute)[None]
+
+        audio_lat = nn.Dense(self.aud_latent_dim, dtype=compute, name="audio_proj")(
+            audio.astype(compute)
+        )
+        cond = jnp.concatenate([audio_lat] + cond_parts, axis=-1)
+
+        # --- transformer stack -------------------------------------------
+        for i in range(self.num_layers):
+            h = DiffusionTransformerLayer(
+                self.latent_dim,
+                self.ff_size,
+                self.num_heads,
+                dtype=compute,
+                name=f"layer_{i}",
+            )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb)
+
+        out = nn.Dense(self.input_feats, dtype=compute, name="out")(h)
+        out = out.astype(jnp.float32)
+
+        if do_cfg:
+            uncond, cond_out = out[:B], out[B:]
+            out = uncond + self.cond_scale * (cond_out - uncond)
+        return out

@@ -1,0 +1,170 @@
+"""Flax HuBERT encoder (hubert-large-ls960-ft architecture).
+
+The reference runs HuggingFace's torch HuBERT on GPU for 1024-d speech
+features (trainers/ddpm_beat_trainer.py:1132-1137,1429-1475).  This is a
+from-scratch Flax implementation of the same architecture so the whole audio
+frontend executes under one jit on TPU; weights are converted from the
+published torch checkpoint by ``diffsheg_tpu.compat.hubert_ckpt``.
+
+Architecture (facebook/hubert-large-ls960-ft):
+  - 7-layer conv feature extractor, 512 ch, kernels (10,3,3,3,3,2,2),
+    strides (5,2,2,2,2,2,2), per-layer LayerNorm ("layer" norm mode),
+    total stride 320, receptive field 400.
+  - feature projection: LN(512) -> Dense(1024).
+  - convolutional relative positional embedding: grouped conv k=128, g=16.
+  - 24 pre-LN ("stable layer norm") transformer layers, 16 heads, FFN 4096.
+  - final LayerNorm.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LN_EPS = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: tuple = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    dtype: str = "float32"
+
+    @property
+    def total_stride(self) -> int:
+        return int(np.prod(self.conv_stride))
+
+    @property
+    def receptive_field(self) -> int:
+        # kernel of the equivalent single conv: k_eq = sum((k_i - 1) * prod(s_<i)) + 1
+        rf, stride = 1, 1
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            rf += (k - 1) * stride
+            stride *= s
+        return rf
+
+
+def hubert_large_config() -> HubertConfig:
+    return HubertConfig()
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Strided conv stack with per-layer LayerNorm + GELU."""
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, N) -> (B, T, C)
+        dtype = jnp.dtype(self.cfg.dtype)
+        h = x[..., None].astype(dtype)  # (B, N, 1)
+        for i, (c, k, s) in enumerate(zip(self.cfg.conv_dim,
+                                          self.cfg.conv_kernel,
+                                          self.cfg.conv_stride)):
+            h = nn.Conv(c, (k,), strides=(s,), padding="VALID", use_bias=True,
+                        dtype=dtype, name=f"conv_{i}")(h)
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=f"ln_{i}")(h)
+            h = jax.nn.gelu(h, approximate=False)
+        return h
+
+
+class PosConvEmbed(nn.Module):
+    """Grouped conv positional embedding with 'same' padding k//2 each side,
+    trimming one frame when the kernel is even (the torch implementation's
+    padding-remove trick)."""
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, T, H)
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        k = c.num_conv_pos_embeddings
+        h = nn.Conv(
+            c.hidden_size, (k,), padding=[(k // 2, k // 2)],
+            feature_group_count=c.num_conv_pos_embedding_groups,
+            dtype=dtype, name="conv",
+        )(x)
+        if k % 2 == 0:
+            h = h[:, :-1]
+        return jax.nn.gelu(h, approximate=False)
+
+
+class HubertSelfAttention(nn.Module):
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        B, T, H = x.shape
+        nh = c.num_heads
+        hd = H // nh
+        q = nn.Dense(H, dtype=dtype, name="q_proj")(x) * (hd ** -0.5)
+        k = nn.Dense(H, dtype=dtype, name="k_proj")(x)
+        v = nn.Dense(H, dtype=dtype, name="v_proj")(x)
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nh, hd)
+        v = v.reshape(B, T, nh, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32).astype(dtype)
+        return nn.Dense(H, dtype=dtype, name="out_proj")(out.reshape(B, T, H))
+
+
+class HubertEncoderLayer(nn.Module):
+    """Pre-LN transformer layer (do_stable_layer_norm=True)."""
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="attn_ln")(x)
+        x = x + HubertSelfAttention(c, name="attn")(h)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="ffn_ln")(x)
+        h = nn.Dense(c.intermediate_size, dtype=dtype, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=dtype, name="fc2")(h)
+        return x + h
+
+
+class HubertModel(nn.Module):
+    """Waveform (B, N) at 16 kHz -> hidden states (B, T, 1024), T=(N-400)//320+1."""
+
+    cfg: HubertConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        h = ConvFeatureExtractor(c, name="feature_extractor")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="feat_proj_ln")(h)
+        h = nn.Dense(c.hidden_size, dtype=dtype, name="feat_proj")(h)
+        h = h + PosConvEmbed(c, name="pos_conv")(h)
+        for i in range(c.num_layers):
+            h = HubertEncoderLayer(c, name=f"layer_{i}")(h)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="final_ln")(h)
+        return h
+
+
+def normalize_waveform(x: jax.Array, axis: int = -1, eps: float = 1e-7) -> jax.Array:
+    """Wav2Vec2Processor zero-mean/unit-variance normalisation (the reference
+    applies it before HuBERT, ddpm_beat_trainer.py:1434)."""
+    mean = x.mean(axis=axis, keepdims=True)
+    var = x.var(axis=axis, keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)

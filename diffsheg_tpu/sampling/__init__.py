@@ -1,0 +1,2 @@
+from diffsheg_tpu.sampling.generator import WindowGenerator
+from diffsheg_tpu.sampling.streamer import StreamingGenerator, get_windows

@@ -1,0 +1,141 @@
+"""Arbitrary-length streaming generation via windowed outpainting.
+
+Reference behaviour (trainers/ddpm_beat_trainer.py:1123-1346): slice the
+conditioning into ``n_poses``-frame windows advancing by ``n_poses -
+overlap_len``; for each window after the first, pin the first ``overlap_len``
+frames toward the previous window's tail with RePaint-in-DDIM; emit
+``window_step`` new frames per window.
+
+TPU-native differences:
+  - Every window has the same static shape.  The reference's shorter tail
+    window (:946-949) would trigger a recompile, so the final window is
+    *shifted left* to end exactly at the sequence end; its pinned head comes
+    from already-emitted frames, which is the same RePaint mechanism, and only
+    the genuinely new frames are emitted.
+  - The window loop carries only the (B, overlap, C) tail between device
+    calls — conditioning is pre-sliced host-side, sampling runs fully
+    on-device per window.
+  - Batch across speakers/styles: the B axis is free, so one session can
+    generate all styles at once (the reference loops styles serially,
+    :1189).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsheg_tpu.sampling.generator import WindowGenerator
+
+
+def get_windows(x: np.ndarray, size: int, step: int) -> List[np.ndarray]:
+    """Reference-compatible window slicing over axis 1
+    (trainers/ddpm_beat_trainer.py:1147-1165), kept for dataset tooling and
+    parity tests.  The streamer itself uses :func:`window_starts`."""
+    seq_len = x.shape[1]
+    if seq_len <= size:
+        return [x]
+    win_num = (seq_len - (size - step)) / float(step)
+    out = [x[:, m * step: m * step + size] for m in range(int(win_num))]
+    if win_num != int(win_num):
+        out.append(x[:, int(win_num) * step:])
+    return out
+
+
+def window_starts(seq_len: int, size: int, step: int) -> List[int]:
+    """Static-shape window plan: full windows every ``step`` frames, plus a
+    final left-shifted window ending at ``seq_len`` when frames remain."""
+    if seq_len <= size:
+        return [0]
+    starts = []
+    s = 0
+    while s + size <= seq_len:
+        starts.append(s)
+        s += step
+    if starts[-1] + size < seq_len:
+        starts.append(seq_len - size)
+    return starts
+
+
+class StreamingGenerator:
+    """Drives a :class:`WindowGenerator` over arbitrary-length conditioning."""
+
+    def __init__(self, gen: WindowGenerator):
+        self.gen = gen
+        self.cfg = gen.cfg
+
+    def generate(
+        self,
+        mel: jax.Array,                      # (B, T, n_mels)
+        person_id: jax.Array,                # (B, style_dim)
+        rng: jax.Array,
+        hubert: Optional[jax.Array] = None,  # (B, T, hubert_dim)
+    ) -> jax.Array:
+        """Generate (B, T, motion_dim) for the full sequence length."""
+        cfg = self.cfg
+        size = cfg.data.n_poses
+        overlap = cfg.stream.overlap_len
+        step = size - overlap
+        B, T = mel.shape[0], mel.shape[1]
+
+        if T <= size:
+            return self._short_sequence(mel, person_id, rng, hubert, T)
+
+        starts = window_starts(T, size, step)
+        chunks: List[jax.Array] = []
+        emitted = 0
+        gt_head: Optional[jax.Array] = None
+        prev_tails = None
+
+        for ii, s in enumerate(starts):
+            rng, k = jax.random.split(rng)
+            mel_w = jax.lax.dynamic_slice_in_dim(mel, s, size, axis=1)
+            hub_w = (
+                jax.lax.dynamic_slice_in_dim(hubert, s, size, axis=1)
+                if hubert is not None else None
+            )
+            if ii == 0:
+                if cfg.stream.fix_very_first and overlap > 0:
+                    zeros = jnp.zeros((B, overlap, cfg.model.motion_dim))
+                    out = self.gen.generate(mel_w, person_id, k, hub_w,
+                                            gt_head=zeros)
+                else:
+                    out = self.gen.generate(mel_w, person_id, k, hub_w)
+            else:
+                out = self.gen.generate(
+                    mel_w, person_id, k, hub_w, gt_head=gt_head,
+                    prev_saved_tails=prev_tails,
+                )
+            if cfg.stream.same_overlap_noisy and isinstance(out, tuple):
+                out, prev_tails = out
+
+            is_last = ii == len(starts) - 1
+            new_from = emitted - s           # frames of this window already emitted
+            keep_to = size if is_last else step
+            chunks.append(out[:, new_from:keep_to])
+            emitted = s + keep_to
+            if not is_last:
+                next_s = starts[ii + 1]
+                # head of next window must match output frames [next_s, next_s+overlap)
+                tail_from = next_s - s
+                gt_head = out[:, tail_from: tail_from + overlap]
+
+        result = jnp.concatenate(chunks, axis=1)
+        assert result.shape[1] == T, (result.shape, T)
+        return result
+
+    def _short_sequence(self, mel, person_id, rng, hubert, T):
+        """Sequence no longer than one window: pad to the static window size
+        and trim (the reference would run a variable-length window,
+        ddpm_beat_trainer.py:1157-1159)."""
+        size = self.cfg.data.n_poses
+        pad = size - T
+        if pad:
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="edge")
+            if hubert is not None:
+                hubert = jnp.pad(hubert, ((0, 0), (0, pad), (0, 0)), mode="edge")
+        out = self.gen.generate(mel, person_id, rng, hubert)
+        return out[:, :T]

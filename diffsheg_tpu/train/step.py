@@ -1,0 +1,118 @@
+"""Data-parallel training step.
+
+Replaces the reference's DDP loop (runner.py:239-264 +
+trainers/ddpm_beat_trainer.py:135-269): one jitted step over a
+``jax.sharding`` mesh.  The batch is sharded on the ``data`` axis, parameters
+and optimizer state are replicated, and GSPMD inserts the gradient reduction
+over ICI — the explicit NCCL all-reduce disappears into the compiler.
+
+Optimisation matches the reference exactly: Adam(2e-4) with global-norm
+gradient clipping at 0.5 applied before the update
+(ddpm_beat_trainer.py:126-128,343).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from diffsheg_tpu.config import Config
+from diffsheg_tpu.diffusion.losses import LossTerms, diffusion_loss
+from diffsheg_tpu.diffusion.schedule import DiffusionSchedule, _gather
+from diffsheg_tpu.models.unidiffuser import UniDiffuser
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adam(cfg.train.lr),
+    )
+
+
+def create_train_state(cfg: Config, variables: Dict[str, Any]) -> TrainState:
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    cfg: Config,
+    sched: DiffusionSchedule,
+    mesh: Optional[Mesh] = None,
+    vel_loss_active: bool = True,
+):
+    """Build the jitted train step.
+
+    Batch dict fields: ``motion`` (B,T,C), ``mel`` (B,T,A), ``pid`` (B,S),
+    optional ``hubert`` (B,T,1024), optional ``sem`` (B,T).
+    """
+    model = UniDiffuser(cfg.model)
+    tx = make_optimizer(cfg)
+
+    def loss_fn(params, batch_stats, batch, t, noise):
+        x_start = batch["motion"]
+        x_t = sched.q_sample(x_start, t, noise)
+        sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
+        srm1 = _gather(sched.sqrt_recipm1_alphas_cumprod, t, 3)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, x_t, t, (sr, srm1), batch["mel"], batch["pid"],
+            hubert=batch.get("hubert"), train=True, mutable=["batch_stats"],
+        )
+        terms = diffusion_loss(
+            sched, out, x_start, x_t, t, noise, cfg.train,
+            sem_score=batch.get("sem"), vel_loss_active=vel_loss_active,
+        )
+        return terms.total, (terms, mutated["batch_stats"])
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
+                ) -> Tuple[TrainState, LossTerms]:
+        B = batch["motion"].shape[0]
+        rng = jax.random.fold_in(rng, state.step)
+        rng_t, rng_n = jax.random.split(rng)
+        t = jax.random.randint(rng_t, (B,), 0, sched.num_steps)
+        noise = jax.random.normal(rng_n, batch["motion"].shape)
+
+        if mesh is not None:
+            constraint = NamedSharding(mesh, P(mesh.axis_names[0]))
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(mesh.axis_names[0],
+                                             *([None] * (x.ndim - 1))))),
+                batch,
+            )
+            t = jax.lax.with_sharding_constraint(t, constraint)
+            noise = jax.lax.with_sharding_constraint(
+                noise, NamedSharding(mesh, P(mesh.axis_names[0], None, None)))
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (terms, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, t, noise)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, terms
+
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,131 @@
+"""Audio frontend tests: STFT against a direct numpy DFT oracle, mel
+filterbank against the slaney formulas evaluated independently."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.signal
+
+from diffsheg_tpu.audio.mel import (
+    MelFrontend,
+    frame_signal,
+    hann_window,
+    mel_filterbank,
+    stft_magsq,
+    _hz_to_mel,
+    _mel_to_hz,
+)
+
+
+class TestWindowAndFraming:
+    def test_hann_matches_scipy_periodic(self):
+        w = hann_window(2048)
+        ref = scipy.signal.get_window("hann", 2048, fftbins=True)
+        np.testing.assert_allclose(w, ref, atol=1e-6)
+
+    def test_frame_count_and_content(self):
+        y = jnp.arange(100.0)
+        frames = frame_signal(y, frame_length=10, hop=4)
+        assert frames.shape == (23, 10)  # 1 + (100-10)//4
+        np.testing.assert_array_equal(np.asarray(frames[0]), np.arange(10.0))
+        np.testing.assert_array_equal(np.asarray(frames[1]),
+                                      np.arange(4.0, 14.0))
+
+
+class TestSTFT:
+    def test_against_numpy_dft(self):
+        rng = np.random.RandomState(0)
+        y = rng.randn(4096).astype(np.float32)
+        n_fft, hop = 512, 128
+        win = hann_window(n_fft)
+        out = np.asarray(stft_magsq(jnp.asarray(y), n_fft, hop,
+                                    jnp.asarray(win), center=True,
+                                    pad_mode="reflect"))
+        # independent oracle: manual reflect pad + numpy rfft
+        yp = np.pad(y, n_fft // 2, mode="reflect")
+        T = 1 + (len(yp) - n_fft) // hop
+        assert out.shape == (T, n_fft // 2 + 1)
+        for ti in (0, 5, T - 1):
+            fr = yp[ti * hop: ti * hop + n_fft] * np.asarray(win)
+            ref = np.abs(np.fft.rfft(fr)) ** 2
+            np.testing.assert_allclose(out[ti], ref, rtol=1e-3, atol=1e-3)
+
+    def test_pure_tone_peak_bin(self):
+        sr, n_fft, hop = 18000, 2048, 1200
+        f0 = 1000.0
+        t = np.arange(sr, dtype=np.float64) / sr
+        y = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        out = np.asarray(stft_magsq(jnp.asarray(y), n_fft, hop,
+                                    jnp.asarray(hann_window(n_fft))))
+        peak = out[5].argmax()
+        assert abs(peak - round(f0 * n_fft / sr)) <= 1
+
+
+class TestMelScale:
+    def test_slaney_roundtrip(self):
+        f = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 9000.0])
+        np.testing.assert_allclose(_mel_to_hz(_hz_to_mel(f)), f, rtol=1e-10)
+
+    def test_slaney_linear_below_1k(self):
+        np.testing.assert_allclose(_hz_to_mel(np.array([600.0])),
+                                   600.0 / (200.0 / 3), rtol=1e-12)
+
+    def test_htk_formula(self):
+        f = np.array([1000.0])
+        np.testing.assert_allclose(_hz_to_mel(f, htk=True),
+                                   2595.0 * np.log10(1 + 1000.0 / 700.0))
+
+
+class TestMelFilterbank:
+    def setup_method(self):
+        self.fb = mel_filterbank(18000, 2048, 128)
+
+    def test_shape_and_nonneg(self):
+        assert self.fb.shape == (128, 1025)
+        assert (self.fb >= 0).all()
+
+    def test_peaks_monotonic(self):
+        peaks = self.fb.argmax(axis=1)
+        assert (np.diff(peaks) >= 0).all()
+
+    def test_slaney_normalization(self):
+        # With slaney norm each filter has ~unit area in Hz: the weight at
+        # peak equals 2 / (band width); integral of the triangle = 1.
+        mel_pts = np.linspace(_hz_to_mel(0.0), _hz_to_mel(9000.0), 130)
+        hz_pts = _mel_to_hz(mel_pts)
+        df = 18000.0 / 2048
+        areas = self.fb.sum(axis=1) * df
+        # discretisation error grows for narrow low-frequency triangles
+        assert np.median(np.abs(areas[40:] - 1.0)) < 0.05
+        # analytic peak height for a mid filter
+        m = 64
+        width = hz_pts[m + 2] - hz_pts[m]
+        assert abs(self.fb[m].max() - 2.0 / width) / (2.0 / width) < 0.1
+
+    def test_full_coverage(self):
+        # every fft bin between the first and last band edge is covered
+        colsum = self.fb.sum(axis=0)
+        assert (colsum[10:-10] > 0).all()
+
+
+class TestMelFrontend:
+    def test_frame_rate_matches_fps(self):
+        # 2.4 s at 18 kHz, hop 1200 -> 36 frames = 15 fps (BEAT)
+        fe = MelFrontend(sr=18000, hop=1200)
+        y = jnp.asarray(np.random.RandomState(0).randn(1, 43200),
+                        dtype=jnp.float32)
+        mel = fe(y)
+        assert mel.shape == (1, 36, 128)
+
+    def test_batched_equals_single(self):
+        fe = MelFrontend()
+        rng = np.random.RandomState(1)
+        y = rng.randn(2, 18000).astype(np.float32)
+        batched = np.asarray(fe(jnp.asarray(y)))
+        single0 = np.asarray(fe(jnp.asarray(y[0:1])))
+        np.testing.assert_allclose(batched[0], single0[0], rtol=1e-5, atol=1e-5)
+
+    def test_silence_gives_zero(self):
+        fe = MelFrontend()
+        mel = fe(jnp.zeros((1, 18000)))
+        np.testing.assert_allclose(np.asarray(mel), 0.0, atol=1e-10)

@@ -1,0 +1,193 @@
+"""Golden-value tests for the diffusion math core.
+
+Oracles are independent numpy implementations of the published closed forms
+(DDPM/DDIM papers), evaluated in float64 — not a translation of any framework.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffsheg_tpu.diffusion import (
+    get_named_beta_schedule,
+    make_schedule,
+    make_respaced_schedule,
+    space_timesteps,
+    jump_schedule,
+    jump_schedule_ddim,
+    make_step_program,
+    plain_program,
+)
+
+
+class TestBetaSchedules:
+    def test_linear_endpoints_1000(self):
+        betas = get_named_beta_schedule("linear", 1000)
+        assert betas.shape == (1000,)
+        assert betas[0] == pytest.approx(1e-4)
+        assert betas[-1] == pytest.approx(0.02)
+        assert np.all(np.diff(betas) > 0)
+
+    def test_linear_scale_invariance(self):
+        # The schedule rescales so fewer steps get proportionally larger betas.
+        betas = get_named_beta_schedule("linear", 100)
+        assert betas[0] == pytest.approx(1e-3)
+        assert betas[-1] == pytest.approx(0.2)
+
+    def test_cosine_bounded(self):
+        betas = get_named_beta_schedule("cosine", 1000)
+        assert betas.shape == (1000,)
+        assert np.all(betas > 0) and np.all(betas <= 0.999)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            get_named_beta_schedule("quadratic", 10)
+
+
+class TestScheduleTables:
+    def setup_method(self):
+        self.betas = get_named_beta_schedule("linear", 1000)
+        self.sched = make_schedule(self.betas)
+
+    def test_tables_against_numpy_float64(self):
+        alphas = 1.0 - self.betas
+        acp = np.cumprod(alphas)
+        np.testing.assert_allclose(
+            np.asarray(self.sched.alphas_cumprod), acp, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(self.sched.sqrt_recipm1_alphas_cumprod),
+            np.sqrt(1.0 / acp - 1.0), rtol=1e-5)
+        acp_prev = np.append(1.0, acp[:-1])
+        post_var = self.betas * (1 - acp_prev) / (1 - acp)
+        np.testing.assert_allclose(
+            np.asarray(self.sched.posterior_variance), post_var, rtol=1e-6)
+        # clipped log variance: index 0 replaced by index 1
+        expect = np.log(np.append(post_var[1], post_var[1:]))
+        np.testing.assert_allclose(
+            np.asarray(self.sched.posterior_log_variance_clipped), expect,
+            rtol=1e-5)
+
+    def test_q_sample_identity_roundtrip(self):
+        # predict_xstart_from_eps(q_sample(x0, t, eps), t, eps) == x0
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, (4, 34, 192))
+        eps = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+        t = jnp.array([0, 10, 500, 999])
+        x_t = self.sched.q_sample(x0, t, eps)
+        x0_hat = self.sched.predict_xstart_from_eps(x_t, t, eps)
+        np.testing.assert_allclose(np.asarray(x0_hat), np.asarray(x0),
+                                   atol=2e-3)
+
+    def test_predict_eps_roundtrip(self):
+        key = jax.random.PRNGKey(7)
+        x0 = jax.random.normal(key, (2, 8, 16))
+        eps = jax.random.normal(jax.random.fold_in(key, 3), x0.shape)
+        t = jnp.array([250, 750])
+        x_t = self.sched.q_sample(x0, t, eps)
+        eps_hat = self.sched.predict_eps_from_xstart(x_t, t, x0)
+        np.testing.assert_allclose(np.asarray(eps_hat), np.asarray(eps),
+                                   atol=1e-3)
+
+    def test_posterior_mean_at_t0_like(self):
+        # Posterior mean coefficients sum: coef1 + coef2*sqrt(acp/acp) ~ known identity:
+        # for x_start == x_t == x, posterior mean ≈ x at small t.
+        x = jnp.ones((1, 2, 3))
+        t = jnp.array([1])
+        m = self.sched.q_posterior_mean(x, x, t)
+        np.testing.assert_allclose(np.asarray(m), 1.0, atol=1e-2)
+
+    def test_undo_matches_formula(self):
+        x = jnp.ones((1, 4, 4))
+        noise = jnp.full((1, 4, 4), 0.5)
+        t = jnp.array([100])
+        out = self.sched.undo(x, t, noise)
+        beta = float(self.betas[100])
+        expect = np.sqrt(1 - beta) * 1.0 + np.sqrt(beta) * 0.5
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+class TestRespacing:
+    def test_ddim25_selects_stride40(self):
+        steps = space_timesteps(1000, "ddim25")
+        assert steps == set(range(0, 1000, 40))
+
+    def test_ddim_impossible_raises(self):
+        with pytest.raises(ValueError):
+            space_timesteps(10, "ddim7")  # no integer stride of 10 yields 7 steps
+
+    def test_section_counts(self):
+        # 300 steps, sections [10, 15, 20] — the reference docstring example.
+        steps = space_timesteps(300, [10, 15, 20])
+        assert len(steps) == 45
+        assert min(steps) == 0 and max(steps) < 300
+
+    def test_respaced_alphas_cumprod_match_base_subsequence(self):
+        # Respacing preserves alpha-bar at the retained steps exactly.
+        base = get_named_beta_schedule("linear", 1000)
+        use = space_timesteps(1000, "ddim25")
+        sched, tmap = make_respaced_schedule(base, use)
+        assert sched.num_steps == 25
+        base_acp = np.cumprod(1.0 - base)
+        np.testing.assert_allclose(
+            np.asarray(sched.alphas_cumprod),
+            base_acp[np.asarray(tmap)], rtol=1e-6)
+
+    def test_timestep_map_is_sorted_stride(self):
+        base = get_named_beta_schedule("linear", 1000)
+        _, tmap = make_respaced_schedule(base, space_timesteps(1000, "ddim25"))
+        np.testing.assert_array_equal(np.asarray(tmap), np.arange(0, 1000, 40))
+
+
+class TestJumpSchedules:
+    def test_walk_is_unit_steps(self):
+        ts = jump_schedule_ddim(25, jump_length=3, jump_n_sample=5)
+        assert ts[0] == 15 and ts[-1] == -1
+        for a, b in zip(ts[:-1], ts[1:]):
+            assert abs(a - b) == 1
+
+    def test_default_counts(self):
+        # t_T=15: base descent 15..0 plus the final 0->-1 = 16 denoise
+        # transitions; jump sites {0,3,6,9} each revisited 4 extra times with
+        # 3 undo + 3 denoise per excursion: denoise = 16 + 48 = 64, undo = 48.
+        ts = jump_schedule_ddim(25, jump_length=3, jump_n_sample=5)
+        prog = make_step_program(ts)
+        assert prog.num_transitions == 112
+        assert prog.num_model_calls == 64
+
+    def test_fast_counts(self):
+        # jump_n_sample=2: denoise = 16 + 4*1*3 = 28, undo = 12.
+        prog = make_step_program(jump_schedule_ddim(25, 3, 2))
+        assert prog.num_transitions == 40
+        assert prog.num_model_calls == 28
+
+    def test_no_resample_is_plain_descent(self):
+        ts = jump_schedule_ddim(25, jump_length=1, jump_n_sample=1)
+        assert ts == list(range(15, -2, -1))
+
+    def test_non25_respacing_truncates_to_60pct(self):
+        ts = jump_schedule_ddim(50, 1, 1)
+        assert ts[0] == 30
+
+    def test_generic_t_T(self):
+        ts = jump_schedule(10, jump_length=2, jump_n_sample=3)
+        assert ts[0] == 10 and ts[-1] == -1
+        for a, b in zip(ts[:-1], ts[1:]):
+            assert abs(a - b) == 1
+
+    def test_plain_program(self):
+        prog = plain_program(25)
+        np.testing.assert_array_equal(np.asarray(prog.t), np.arange(24, -1, -1))
+        assert bool(prog.denoise.all())
+
+    def test_program_semantics(self):
+        # For each denoise transition t decreases by 1; undo increases by 1.
+        ts = jump_schedule_ddim(25, 3, 5)
+        prog = make_step_program(ts)
+        t = np.asarray(prog.t)
+        den = np.asarray(prog.denoise)
+        cur = ts[0]
+        for i in range(len(t)):
+            assert t[i] == cur
+            cur = cur - 1 if den[i] else cur + 1
+        assert cur == -1

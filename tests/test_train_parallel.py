@@ -1,0 +1,147 @@
+"""Training step + data-parallel mesh tests (8 virtual CPU devices)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from diffsheg_tpu.config import beat_config
+from diffsheg_tpu.diffusion.schedule import get_named_beta_schedule, make_schedule
+from diffsheg_tpu.diffusion.timestep_sampler import (
+    LossAwareState,
+    sample_loss_aware,
+    sample_uniform,
+    update_loss_history,
+)
+from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+from diffsheg_tpu.parallel.mesh import make_mesh, shard_batch
+from diffsheg_tpu.train.step import create_train_state, make_train_step
+
+
+def tiny_cfg():
+    cfg = beat_config()
+    return cfg.replace(model=dataclasses.replace(
+        cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+        hubert_latent_dim=16))
+
+
+def make_batch(cfg, B, T, seed=0):
+    k = jax.random.PRNGKey(seed)
+    ks = jax.random.split(k, 4)
+    return {
+        "motion": jax.random.normal(ks[0], (B, T, cfg.model.motion_dim)) * 0.5,
+        "mel": jax.random.normal(ks[1], (B, T, cfg.model.audio_dim)),
+        "pid": jax.nn.one_hot(jnp.arange(B) % cfg.model.style_dim,
+                              cfg.model.style_dim),
+        "hubert": jax.random.normal(ks[2], (B, T, cfg.model.hubert_dim)) * 0.1,
+        "sem": jnp.abs(jax.random.normal(ks[3], (B, T))),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_repeated_batch(self):
+        cfg = tiny_cfg()
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        batch = make_batch(cfg, 4, 8)
+        rng = jax.random.PRNGKey(42)
+        losses = []
+        for _ in range(8):
+            state, terms = step(state, batch, rng)
+            losses.append(float(terms.total))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_step_counter_and_param_change(self):
+        cfg = tiny_cfg()
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        p0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+        state, _ = step(state, make_batch(cfg, 4, 8), jax.random.PRNGKey(0))
+        assert int(state.step) == 1
+        changed = jax.tree.map(
+            lambda a, b: not np.allclose(a, np.asarray(b)), p0, state.params)
+        assert any(jax.tree.leaves(changed))
+
+
+class TestDataParallel:
+    def test_eight_device_mesh_step(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 cpu devices"
+        cfg = tiny_cfg()
+        mesh = make_mesh(cfg.mesh, devices=jax.devices()[:8])
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        with mesh:
+            state = create_train_state(cfg, variables)
+            step = make_train_step(cfg, sched, mesh=mesh)
+            batch = shard_batch(mesh, make_batch(cfg, 16, 8))
+            state, terms = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(terms.total))
+        assert int(state.step) == 1
+
+    def test_sharded_matches_single_device(self):
+        # Same data, same rng: the mesh step must agree with the unsharded
+        # step (GSPMD reduction == serial computation).
+        cfg = tiny_cfg()
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        batch = make_batch(cfg, 8, 8)
+        rng = jax.random.PRNGKey(7)
+
+        step1 = make_train_step(cfg, sched)
+        s1 = create_train_state(cfg, variables)
+        s1, t1 = step1(s1, batch, rng)
+
+        mesh = make_mesh(cfg.mesh, devices=jax.devices()[:8])
+        with mesh:
+            step8 = make_train_step(cfg, sched, mesh=mesh)
+            s8 = create_train_state(cfg, variables)
+            s8, t8 = step8(s8, shard_batch(mesh, batch), rng)
+
+        assert float(t1.total) == pytest.approx(float(t8.total), rel=1e-4)
+
+    def test_dryrun_multichip_entry(self):
+        import importlib.util, pathlib
+        spec = importlib.util.spec_from_file_location(
+            "graft_entry",
+            pathlib.Path(__file__).resolve().parents[1] / "__graft_entry__.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)
+
+
+class TestTimestepSamplers:
+    def test_uniform_range(self):
+        t, w = sample_uniform(jax.random.PRNGKey(0), 1000, 25)
+        assert int(t.min()) >= 0 and int(t.max()) < 25
+        np.testing.assert_array_equal(np.asarray(w), 1.0)
+
+    def test_loss_aware_uniform_until_warm(self):
+        state = LossAwareState.create(10, history_per_term=4)
+        t, w = sample_loss_aware(jax.random.PRNGKey(0), 2000, state)
+        # cold history -> uniform: all timesteps hit, weights == 1
+        assert len(np.unique(np.asarray(t))) == 10
+        np.testing.assert_allclose(np.asarray(w), 1.0, rtol=1e-5)
+
+    def test_loss_aware_prefers_high_loss_after_warm(self):
+        state = LossAwareState.create(4, history_per_term=2)
+        # warm up: timestep 3 has much higher loss
+        for _ in range(2):
+            state = update_loss_history(
+                state, jnp.array([0, 1, 2, 3]), jnp.array([0.1, 0.1, 0.1, 10.0]))
+        assert bool(state.warmed_up)
+        t, _ = sample_loss_aware(jax.random.PRNGKey(1), 4000, state)
+        frac3 = float((t == 3).mean())
+        assert frac3 > 0.5
+
+    def test_history_fifo(self):
+        state = LossAwareState.create(2, history_per_term=2)
+        for v in (1.0, 2.0, 3.0):
+            state = update_loss_history(state, jnp.array([0]), jnp.array([v]))
+        np.testing.assert_allclose(np.asarray(state.history[0]), [2.0, 3.0])
