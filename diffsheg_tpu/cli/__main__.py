@@ -1,0 +1,3 @@
+from diffsheg_tpu.cli.main import main
+
+raise SystemExit(main())

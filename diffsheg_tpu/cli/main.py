@@ -1,0 +1,243 @@
+"""Command-line entry points.
+
+Mirrors the reference's runner modes (reference runner.py:298-324:
+train / test / test_arbitrary_len / test_custom_audio) plus cache building,
+over the typed Config presets instead of ~90 loose argparse flags
+(options/base_options.py).  Any config field remains reachable through
+``--set section.field=value`` overrides.
+
+Usage:
+  python -m diffsheg_tpu.cli train --dataset beat --workdir runs/beat
+  python -m diffsheg_tpu.cli generate --dataset beat --audio clip.wav \\
+      --checkpoint runs/beat/ckpt --speakers 1,3,5,7
+  python -m diffsheg_tpu.cli build-cache --dataset beat --data-root data/BEAT
+  python -m diffsheg_tpu.cli eval --dataset beat --checkpoint runs/beat/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from diffsheg_tpu.config import Config, beat_config, show_config
+
+
+def _apply_overrides(cfg: Config, sets: List[str]) -> Config:
+    """--set model.latent_dim=256 style dotted overrides."""
+    for item in sets:
+        path, _, raw = item.partition("=")
+        section, _, field = path.partition(".")
+        sub = getattr(cfg, section)
+        old = getattr(sub, field)
+        if isinstance(old, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(old, int):
+            val = int(raw)
+        elif isinstance(old, float):
+            val = float(raw)
+        else:
+            val = raw
+        cfg = cfg.replace(**{section: dataclasses.replace(sub,
+                                                          **{field: val})})
+    return cfg
+
+
+def _base_config(args) -> Config:
+    cfg = beat_config() if args.dataset == "beat" else show_config()
+    if getattr(args, "set", None):
+        cfg = _apply_overrides(cfg, args.set)
+    return cfg
+
+
+def cmd_train(args) -> int:
+    import jax
+    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
+    from diffsheg_tpu.data.loader import ShardedBatchLoader
+    from diffsheg_tpu.train.trainer import Trainer
+
+    cfg = _base_config(args)
+    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
+    train_ds = BeatDataset(args.train_cache, stats,
+                           hubert_cache_dir=args.hubert_cache)
+    val_ds = (BeatDataset(args.val_cache, stats)
+              if args.val_cache else None)
+
+    batch = min(cfg.train.batch_size, len(train_ds))
+    n_dev = len(jax.devices())
+    batch = max(n_dev, batch - batch % n_dev)
+    mk = lambda ds: ShardedBatchLoader(
+        ds, global_batch_size=batch, seed=cfg.train.seed,
+        process_index=jax.process_index(), process_count=jax.process_count())
+    trainer = Trainer(cfg, args.workdir)
+    if args.resume:
+        trainer.try_resume()
+    trainer.fit(mk(train_ds), mk(val_ds) if val_ds else None,
+                num_epochs=args.epochs or None)
+    return 0
+
+
+def cmd_generate(args) -> int:
+    import jax
+    from diffsheg_tpu.cli.generate import CustomAudioPipeline
+    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+
+    cfg = _base_config(args)
+    variables = _load_variables(cfg, args.checkpoint)
+    mean = std = None
+    if args.stats_dir:
+        from diffsheg_tpu.data.beat import BeatStats
+        st = BeatStats.load(args.stats_dir)
+        mean, std = st.motion_mean, st.motion_std
+
+    pipe = CustomAudioPipeline(cfg, variables,
+                               motion_mean=mean, motion_std=std)
+    speakers = [int(s) for s in args.speakers.split(",")]
+    res = pipe.generate(args.audio, speakers, seed=args.seed)
+    print(f"generated {res.motion.shape} | {res.fps:.1f} FPS "
+          f"({res.rtf:.2f}x real-time) | stages: "
+          + " ".join(f"{k}={v:.3f}s" for k, v in res.stages.items()))
+    name = os.path.splitext(os.path.basename(args.audio))[0]
+    if args.dataset == "beat" and mean is not None:
+        files = pipe.export_beat(res.motion, args.out_dir, name,
+                                 template_bvh=args.template_bvh)
+    else:
+        files = pipe.export_show(res.motion, args.out_dir, name)
+    print("\n".join(files))
+    return 0
+
+
+def _load_variables(cfg: Config, checkpoint: Optional[str]):
+    import jax
+    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+
+    model, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+    if not checkpoint:
+        print("WARNING: no checkpoint given, using random init",
+              file=sys.stderr)
+        return variables
+    if checkpoint.endswith(".tar") or checkpoint.endswith(".pt"):
+        from diffsheg_tpu.compat.torch_ckpt import load_reference_checkpoint
+        return load_reference_checkpoint(checkpoint, cfg.model)
+    from diffsheg_tpu.train.checkpoint import CheckpointManager
+    from diffsheg_tpu.train.step import create_train_state
+    import numpy as np
+    state = create_train_state(cfg, variables)
+    mngr = CheckpointManager(checkpoint)
+    restored = mngr.restore_latest(jax.tree.map(np.asarray, state))
+    assert restored is not None, f"no checkpoint under {checkpoint}"
+    st = restored[0]
+    return {"params": st.params, "batch_stats": st.batch_stats}
+
+
+def cmd_build_cache(args) -> int:
+    from diffsheg_tpu.data.beat import (BeatBuildConfig, BeatStats,
+                                        build_beat_cache, compute_beat_stats)
+
+    cfg = _base_config(args)
+    bc = BeatBuildConfig(n_poses=cfg.data.n_poses, stride=cfg.data.stride,
+                         pose_fps=cfg.data.fps, mel_sr=cfg.data.mel_sr,
+                         mel_hop=cfg.data.mel_hop, n_mels=cfg.data.n_mels)
+    split_dir = os.path.join(args.data_root, args.split)
+    if args.stats_dir and os.path.exists(
+            os.path.join(args.stats_dir, "axis_angle_mean.npy")):
+        stats = BeatStats.load(args.stats_dir)
+    else:
+        print("computing dataset statistics...")
+        stats = compute_beat_stats(split_dir, bc)
+        if args.stats_dir:
+            stats.save(args.stats_dir)
+    out = args.out or os.path.join(args.data_root,
+                                   f"cache_{args.split}")
+    n = build_beat_cache(split_dir, out, stats, bc,
+                         is_test=args.split == "test")
+    print(f"cache: {n} samples -> {out}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
+    from diffsheg_tpu.data.loader import ShardedBatchLoader
+    from diffsheg_tpu.train.trainer import Trainer
+
+    cfg = _base_config(args)
+    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
+    ds = BeatDataset(args.val_cache, stats)
+    trainer = Trainer(cfg, args.workdir or "/tmp/diffsheg_eval")
+    if args.checkpoint:
+        variables = _load_variables(cfg, args.checkpoint)
+        trainer.state = trainer.state._replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}))
+    loader = ShardedBatchLoader(ds, global_batch_size=min(32, len(ds)),
+                                shuffle=False)
+    res = trainer.evaluate(loader, jax.random.PRNGKey(args.seed))
+    print(json.dumps(res.as_dict(), indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="diffsheg_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--dataset", choices=["beat", "show"],
+                        default="beat")
+        sp.add_argument("--set", action="append", default=[],
+                        help="config override section.field=value")
+        sp.add_argument("--seed", type=int, default=0)
+
+    sp = sub.add_parser("train", help="train a model")
+    common(sp)
+    sp.add_argument("--workdir", required=True)
+    sp.add_argument("--train-cache", required=True)
+    sp.add_argument("--val-cache")
+    sp.add_argument("--hubert-cache")
+    sp.add_argument("--stats-dir")
+    sp.add_argument("--resume", action="store_true")
+    sp.add_argument("--epochs", type=int, default=0)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("generate", help="custom-audio generation")
+    common(sp)
+    sp.add_argument("--audio", required=True)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--stats-dir")
+    sp.add_argument("--out-dir", default="outputs")
+    sp.add_argument("--speakers", default="1,3,5,7",
+                    help="comma-separated speaker indices")
+    sp.add_argument("--template-bvh")
+    sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("build-cache", help="build a dataset cache")
+    common(sp)
+    sp.add_argument("--data-root", required=True)
+    sp.add_argument("--split", default="train")
+    sp.add_argument("--stats-dir")
+    sp.add_argument("--out")
+    sp.set_defaults(fn=cmd_build_cache)
+
+    sp = sub.add_parser("eval", help="run validation metrics")
+    common(sp)
+    sp.add_argument("--val-cache", required=True)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--stats-dir")
+    sp.add_argument("--workdir")
+    sp.set_defaults(fn=cmd_eval)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,252 @@
+"""Training driver: epochs, logging, periodic eval, checkpoint policy.
+
+The TPU-native re-design of the reference trainer loop (reference
+trainers/ddpm_beat_trainer.py:340-653):
+
+  - one jitted data-parallel train step (train/step.py) — DDP, grad
+    all-reduce and the optimizer all live inside the compiled program;
+  - host keeps only the epoch loop, the input pipeline (data/loader.py) and
+    metric aggregation; under multi-process JAX the loss is already a global
+    value (computed on sharded arrays), so the reference's AverageMeter
+    ``dist.all_reduce`` (ddpm_beat_trainer.py:1504-1514) has no analogue —
+    the mean over the global batch IS the reduced value;
+  - periodic eval (eval_every_epochs): DDIM-25 windows via the compiled
+    sampler, FGD / MSE / PCK / diversity (ddpm_beat_trainer.py:486-642);
+  - checkpoints every epoch (latest), every save_every_epochs (tagged) and on
+    best FGD/MSE/PCK (train/checkpoint.py);
+  - velocity/x0 loss terms gate on epoch >= vel_loss_start
+    (ddpm_beat_trainer.py:241-257 epoch gate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsheg_tpu.config import Config
+from diffsheg_tpu.data.loader import ShardedBatchLoader
+from diffsheg_tpu.diffusion.schedule import get_named_beta_schedule, make_schedule
+from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+from diffsheg_tpu.parallel.mesh import make_mesh, shard_batch
+from diffsheg_tpu.train.checkpoint import CheckpointManager
+from diffsheg_tpu.train.step import TrainState, create_train_state, make_train_step
+from diffsheg_tpu.utils.logging import MetricLogger
+
+
+@dataclasses.dataclass
+class EvalResult:
+    fgd: float = float("nan")
+    mse: float = float("nan")
+    pck: float = float("nan")
+    diversity: float = float("nan")
+
+    def as_dict(self) -> Dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+class Trainer:
+    """Owns mesh, compiled steps, checkpoint manager and the epoch loop."""
+
+    def __init__(self, cfg: Config, workdir: str,
+                 fgd_variables: Optional[Any] = None,
+                 logger: Optional[MetricLogger] = None):
+        self.cfg = cfg
+        self.workdir = workdir
+        self.mesh = make_mesh(cfg.mesh)
+        self.logger = logger or MetricLogger(workdir, name=cfg.name)
+
+        self.model, variables = init_unidiffuser(
+            cfg.model, cfg.data.n_poses, jax.random.PRNGKey(cfg.train.seed))
+        self.schedule = make_schedule(get_named_beta_schedule(
+            cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
+
+        with self.mesh:
+            self.state: TrainState = create_train_state(cfg, variables)
+        # two step variants: epoch-gated velocity/x0 terms
+        self._step_full = make_train_step(cfg, self.schedule, mesh=self.mesh,
+                                          vel_loss_active=True)
+        self._step_eps = make_train_step(cfg, self.schedule, mesh=self.mesh,
+                                         vel_loss_active=False)
+        self.ckpt = CheckpointManager(f"{workdir}/ckpt")
+        self.epoch = 0
+        self.total_it = 0
+        self.fgd_variables = fgd_variables
+        self._generator = None  # built lazily at first eval
+
+    # -- checkpoint --------------------------------------------------------
+    def try_resume(self) -> bool:
+        """Resume from the newest checkpoint (reference --resume,
+        ddpm_beat_trainer.py:349-354)."""
+        restored = self.ckpt.restore_latest(
+            jax.tree.map(np.asarray, self.state))
+        if restored is None:
+            return False
+        state, meta = restored
+        self.state = jax.tree.map(jnp.asarray, state)
+        self.epoch = int(meta.get("epoch", 0))
+        self.total_it = int(meta.get("total_it", 0))
+        self.logger.log_text(f"resumed at epoch {self.epoch} "
+                             f"(it {self.total_it})")
+        return True
+
+    def _meta(self) -> Dict:
+        return {"epoch": self.epoch, "total_it": self.total_it,
+                "config": self.cfg.to_json()}
+
+    # -- core loops --------------------------------------------------------
+    def train_epoch(self, loader: ShardedBatchLoader,
+                    rng: jax.Array) -> Dict[str, float]:
+        cfg = self.cfg.train
+        vel_on = (cfg.vel_loss_start >= 0
+                  and self.epoch >= cfg.vel_loss_start) or cfg.vel_loss_start < 0
+        step_fn = self._step_full if vel_on else self._step_eps
+        loader.set_epoch(self.epoch)
+        sums: Dict[str, float] = {}
+        count = 0
+        t0 = time.time()
+        with self.mesh:
+            for batch in loader:
+                batch = shard_batch(self.mesh, self._to_model_batch(batch))
+                self.state, terms = step_fn(self.state, batch, rng)
+                self.total_it += 1
+                count += 1
+                if self.total_it % cfg.log_every == 0:
+                    vals = {k: float(v) for k, v in terms._asdict().items()}
+                    for k, v in vals.items():
+                        sums[k] = sums.get(k, 0.0) + v
+                    self.logger.log_metrics(
+                        step=self.total_it,
+                        metrics={**vals, "epoch": self.epoch,
+                                 "it_per_s": count / (time.time() - t0)})
+        self.epoch += 1
+        n = max(1, count // max(1, cfg.log_every))
+        return {k: v / n for k, v in sums.items()}
+
+    def _to_model_batch(self, batch: Dict[str, np.ndarray]
+                        ) -> Dict[str, np.ndarray]:
+        """Dataset dict -> train-step contract {motion, mel, pid, hubert?, sem?}
+        (assembly the reference does inline, ddpm_beat_trainer.py:383-441)."""
+        out = {"motion": batch["motion"], "mel": batch["mel"]}
+        if "pid" in batch:
+            out["pid"] = batch["pid"]
+        elif "speaker" in batch:
+            out["pid"] = batch["speaker"]
+        else:
+            ids = batch["id"].reshape(-1).astype(np.int32)
+            out["pid"] = np.eye(self.cfg.model.style_dim,
+                                dtype=np.float32)[ids % self.cfg.model.style_dim]
+        if "hubert" in batch:
+            out["hubert"] = batch["hubert"]
+        elif self.cfg.model.add_hubert:
+            # no cached features: zero conditioning keeps shapes static
+            B, T = batch["motion"].shape[:2]
+            out["hubert"] = np.zeros((B, T, self.cfg.model.hubert_dim),
+                                     dtype=np.float32)
+        if "sem" in batch:
+            out["sem"] = batch["sem"]
+        return out
+
+    # -- eval --------------------------------------------------------------
+    def _get_generator(self):
+        if self._generator is None:
+            from diffsheg_tpu.sampling.generator import WindowGenerator
+            self._generator = WindowGenerator(
+                self.cfg,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats})
+        else:
+            self._generator.variables = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+        return self._generator
+
+    def evaluate(self, loader: ShardedBatchLoader,
+                 rng: jax.Array, max_batches: int = 0) -> EvalResult:
+        """DDIM sampling + FGD/MSE/PCK/diversity on the val split
+        (reference ddpm_beat_trainer.py:486-642)."""
+        from diffsheg_tpu.eval.metrics import diversity as div_fn
+        from diffsheg_tpu.eval.metrics import frechet_from_activations, mse_pck
+
+        gen = self._get_generator()
+        mses, pcks, divs = [], [], []
+        gen_lat, real_lat = [], []
+        fgd_embed = None
+        if self.fgd_variables is not None:
+            from diffsheg_tpu.eval.fgd_net import FgdFeatureNet, FgdNetConfig
+            net = FgdFeatureNet(FgdNetConfig(
+                n_frames=self.cfg.data.n_poses,
+                pose_dim=self.cfg.model.motion_dim))
+            fgd_embed = jax.jit(lambda x: net.apply(self.fgd_variables, x))
+
+        for bi, batch in enumerate(loader):
+            if max_batches and bi >= max_batches:
+                break
+            mb = self._to_model_batch(batch)
+            rng, k = jax.random.split(rng)
+            out = gen.generate(jnp.asarray(mb["mel"]), jnp.asarray(mb["pid"]),
+                               k, hubert=jnp.asarray(mb["hubert"])
+                               if "hubert" in mb else None)
+            out_np = np.asarray(out)
+            tgt = mb["motion"]
+            B, T, C = out_np.shape
+            m, p = mse_pck(out_np.reshape(B, T, C // 3, 3),
+                           tgt.reshape(B, T, C // 3, 3))
+            mses.append(m); pcks.append(p)
+            divs.append(div_fn(out_np))
+            if fgd_embed is not None:
+                gen_lat.append(np.asarray(fgd_embed(out)))
+                real_lat.append(np.asarray(fgd_embed(jnp.asarray(tgt))))
+
+        res = EvalResult(
+            mse=float(np.mean(mses)) if mses else float("nan"),
+            pck=float(np.mean(pcks)) if pcks else float("nan"),
+            diversity=float(np.mean(divs)) if divs else float("nan"),
+            fgd=(frechet_from_activations(np.concatenate(gen_lat),
+                                          np.concatenate(real_lat))
+                 if gen_lat else float("nan")),
+        )
+        self.logger.log_metrics(step=self.total_it,
+                                metrics={f"val_{k}": v
+                                         for k, v in res.as_dict().items()})
+        return res
+
+    # -- top-level fit -----------------------------------------------------
+    def fit(self, train_loader: ShardedBatchLoader,
+            val_loader: Optional[ShardedBatchLoader] = None,
+            num_epochs: Optional[int] = None) -> None:
+        cfg = self.cfg.train
+        num_epochs = num_epochs or cfg.num_epochs
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        while self.epoch < num_epochs:
+            rng, k_train, k_eval = jax.random.split(rng, 3)
+            losses = self.train_epoch(train_loader, k_train)
+            self.logger.log_text(
+                f"epoch {self.epoch}/{num_epochs} " +
+                " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
+
+            self.ckpt.save_latest(self.epoch, jax.tree.map(np.asarray,
+                                                           self.state),
+                                  self._meta())
+            if cfg.save_every_epochs and \
+                    self.epoch % cfg.save_every_epochs == 0:
+                self.ckpt.save_tagged(f"epoch_{self.epoch:04d}",
+                                      jax.tree.map(np.asarray, self.state),
+                                      self._meta())
+            if (val_loader is not None and cfg.eval_every_epochs
+                    and self.epoch % cfg.eval_every_epochs == 0):
+                res = self.evaluate(val_loader, k_eval)
+                state_np = jax.tree.map(np.asarray, self.state)
+                if np.isfinite(res.fgd):
+                    self.ckpt.update_best("fgd", res.fgd, state_np,
+                                          self._meta())
+                if np.isfinite(res.mse):
+                    self.ckpt.update_best("mse", res.mse, state_np,
+                                          self._meta())
+                if np.isfinite(res.pck):
+                    self.ckpt.update_best("pck", res.pck, state_np,
+                                          self._meta(), lower_is_better=False)

@@ -1,7 +1,10 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Must run before any jax import — pytest imports conftest before test modules,
-and no module imports jax at collection time before this executes.
+The environment's TPU plugin ignores the ``JAX_PLATFORMS`` env var, so the
+platform must also be forced through ``jax.config`` before any computation.
+Running tests on CPU keeps them deterministic, hermetic, and lets
+``xla_force_host_platform_device_count`` provide 8 virtual devices for the
+sharding tests.
 """
 
 import os
@@ -12,8 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Keep CPU tests deterministic and fast.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+# float32 matmul accuracy for numerical oracles (TPU-style bf16 default
+# otherwise leaks in on some builds).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 

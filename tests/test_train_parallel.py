@@ -49,12 +49,25 @@ class TestTrainStep:
         state = create_train_state(cfg, variables)
         batch = make_batch(cfg, 4, 8)
         rng = jax.random.PRNGKey(42)
+        # The step folds rng with state.step, so different steps draw
+        # different (t, noise) and raw losses are not comparable across
+        # steps.  Probe deterministically instead: loss on the *same*
+        # (t, noise) (step counter pinned to 0) before vs after training.
+        def probe_loss(st):
+            # the step donates its input state; probe on a copy
+            cp = jax.tree.map(jnp.copy, st)._replace(
+                step=jnp.zeros((), jnp.int32))
+            _, terms = step(cp, batch, rng)
+            return float(terms.total)
+
+        first_loss = probe_loss(state)
         losses = []
         for _ in range(8):
             state, terms = step(state, batch, rng)
             losses.append(float(terms.total))
+        final_loss = probe_loss(state)
         assert all(np.isfinite(losses))
-        assert losses[-1] < losses[0]
+        assert final_loss < first_loss
 
     def test_step_counter_and_param_change(self):
         cfg = tiny_cfg()
@@ -94,14 +107,15 @@ class TestDataParallel:
         batch = make_batch(cfg, 8, 8)
         rng = jax.random.PRNGKey(7)
 
+        # the step donates its input state, so each run gets its own copy
         step1 = make_train_step(cfg, sched)
-        s1 = create_train_state(cfg, variables)
+        s1 = create_train_state(cfg, jax.tree.map(jnp.copy, variables))
         s1, t1 = step1(s1, batch, rng)
 
         mesh = make_mesh(cfg.mesh, devices=jax.devices()[:8])
         with mesh:
             step8 = make_train_step(cfg, sched, mesh=mesh)
-            s8 = create_train_state(cfg, variables)
+            s8 = create_train_state(cfg, jax.tree.map(jnp.copy, variables))
             s8, t8 = step8(s8, shard_batch(mesh, batch), rng)
 
         assert float(t1.total) == pytest.approx(float(t8.total), rel=1e-4)
