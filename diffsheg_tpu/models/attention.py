@@ -38,19 +38,24 @@ def linear_attention_core(
 class LinearTemporalSelfAttention(nn.Module):
     """Reference models/transformer.py:100-131 with identical masking:
     the key logits get ``(1 - mask) * -1e6`` before the time softmax and the
-    values are zeroed outside the mask."""
+    values are zeroed outside the mask.
+
+    ``use_fused=None`` auto-selects the fused Pallas kernel
+    (diffsheg_tpu.ops.linear_attention) on TPU backends and the einsum
+    composition elsewhere; both paths are numerically equivalent and
+    differentiable."""
 
     latent_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = None
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, src_mask: jax.Array) -> jax.Array:
         from diffsheg_tpu.models.blocks import StylizationBlock  # circular-safe
+        from diffsheg_tpu.ops.linear_attention import linear_attention
 
         B, T, D = x.shape
-        H = self.num_heads
-        hd = D // H
 
         xn = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         query = nn.Dense(D, dtype=self.dtype, name="query")(xn)
@@ -59,11 +64,9 @@ class LinearTemporalSelfAttention(nn.Module):
 
         mask = src_mask.astype(query.dtype)  # (B, T, 1)
         key = key + (1.0 - mask) * -1_000_000.0
+        value = value * mask
 
-        query = jax.nn.softmax(query.reshape(B, T, H, hd), axis=-1)
-        key = jax.nn.softmax(key.reshape(B, T, H, hd), axis=1)
-        value = (value * mask).reshape(B, T, H, hd)
-
-        y = linear_attention_core(query, key, value).reshape(B, T, D)
+        y = linear_attention(query, key, value, self.num_heads,
+                             use_fused=self.use_fused)
         y = StylizationBlock(self.latent_dim, dtype=self.dtype, name="proj_out")(y, emb)
         return x + y
