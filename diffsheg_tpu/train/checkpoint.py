@@ -61,12 +61,25 @@ class CheckpointManager:
         return dict(self._best)
 
     # -- save/restore ------------------------------------------------------
+    # Orbax trees hold arrays only; free-form metadata (epoch, config JSON)
+    # travels in JSON sidecar files next to each checkpoint.
+    def _write_meta(self, name: str, meta: Optional[Dict]) -> None:
+        with open(os.path.join(self.root, f"{name}.meta.json"), "w") as f:
+            json.dump(meta or {}, f, indent=2)
+
+    def _read_meta(self, name: str) -> Dict:
+        path = os.path.join(self.root, f"{name}.meta.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
+
     def save_latest(self, step: int, state: Any,
                     meta: Optional[Dict] = None) -> None:
         assert _HAS_ORBAX, "orbax unavailable"
-        payload = {"state": state, "meta": meta or {}}
-        self._mngr.save(step, args=ocp.args.StandardSave(payload))
+        self._mngr.save(step, args=ocp.args.StandardSave({"state": state}))
         self._mngr.wait_until_finished()
+        self._write_meta(f"latest_{step}", meta)
 
     def restore_latest(self, abstract_state: Any
                        ) -> Optional[Tuple[Any, Dict]]:
@@ -76,9 +89,8 @@ class CheckpointManager:
         if step is None:
             return None
         payload = self._mngr.restore(
-            step, args=ocp.args.StandardRestore(
-                {"state": abstract_state, "meta": {}}))
-        return payload["state"], dict(payload.get("meta", {}))
+            step, args=ocp.args.StandardRestore({"state": abstract_state}))
+        return payload["state"], self._read_meta(f"latest_{step}")
 
     def save_tagged(self, tag: str, state: Any,
                     meta: Optional[Dict] = None) -> None:
@@ -86,8 +98,9 @@ class CheckpointManager:
         assert _HAS_ORBAX, "orbax unavailable"
         path = os.path.join(self.root, tag)
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"state": state, "meta": meta or {}}, force=True)
+        ckptr.save(path, {"state": state}, force=True)
         ckptr.wait_until_finished()
+        self._write_meta(tag, meta)
 
     def restore_tagged(self, tag: str, abstract_state: Any
                        ) -> Tuple[Any, Dict]:
@@ -95,9 +108,8 @@ class CheckpointManager:
         ckptr = ocp.StandardCheckpointer()
         payload = ckptr.restore(
             os.path.join(self.root, tag),
-            args=ocp.args.StandardRestore(
-                {"state": abstract_state, "meta": {}}))
-        return payload["state"], dict(payload.get("meta", {}))
+            args=ocp.args.StandardRestore({"state": abstract_state}))
+        return payload["state"], self._read_meta(tag)
 
     def update_best(self, metric: str, value: float, state: Any,
                     meta: Optional[Dict] = None,
