@@ -27,3 +27,8 @@ from diffsheg_tpu.data.loader import (  # noqa: F401
     ShardedBatchLoader,
     device_put_sharded,
 )
+from diffsheg_tpu.data.show_cache import (  # noqa: F401
+    ShowBuildConfig,
+    build_show_cache,
+    compute_show_stats,
+)

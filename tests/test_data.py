@@ -240,3 +240,39 @@ class TestLoader:
             shards.append(np.concatenate(rows))
         union = np.concatenate(shards)
         assert len(np.unique(union)) == 40
+
+
+class TestShowCacheBuild:
+    def _seqs(self, n=2, T=200, fps=30, sr=16000):
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            yield {
+                "pose": rng.randn(T, 165).astype(np.float32),
+                "expression": rng.randn(T, 100).astype(np.float32),
+                "audio": rng.randn(int(T / fps * sr)).astype(np.float32) * .1,
+                "speaker": 20 + i,
+            }
+
+    def test_build_and_dataset(self, tmp_path):
+        from diffsheg_tpu.data.show_cache import (ShowBuildConfig,
+                                                  build_show_cache,
+                                                  compute_show_stats)
+        stats_raw = compute_show_stats(self._seqs())
+        assert stats_raw["pose_mean"].shape == (165,)
+        n = build_show_cache(self._seqs(), str(tmp_path / "sc"),
+                             ShowBuildConfig(n_poses=88, stride=40),
+                             log=lambda *a: None)
+        # (200-88)//40+1 = 3 windows x 2 seqs
+        assert n == 6
+        st = show_mod.ShowStats.from_raw_dict(stats_raw)
+        ds = show_mod.ShowDataset(str(tmp_path / "sc"), st)
+        s = ds[0]
+        assert s["gesture"].shape == (88, 129)
+        assert s["expression"].shape == (88, 103)
+        assert s["motion"].shape == (88, 232)
+        assert s["mel"].shape == (88, 128)
+        assert s["speaker"].shape == (4,)
+        b = ds.batch(np.asarray([0, 3]))
+        assert b["motion"].shape == (2, 88, 232)
+        # speakers 20,21 -> one-hot 0,1
+        assert b["speaker"][0][0] == 1.0 and b["speaker"][1][1] == 1.0
