@@ -183,6 +183,23 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_test_stream(args) -> int:
+    """test_arbitrary_len equivalent (reference ddpm_beat_trainer.py:849)."""
+    import jax
+    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
+    from diffsheg_tpu.sampling.testset import generate_testset
+
+    cfg = _base_config(args)
+    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
+    ds = BeatDataset(args.test_cache, stats)
+    variables = _load_variables(cfg, args.checkpoint)
+    metrics = generate_testset(cfg, variables, ds, args.out_dir,
+                               jax.random.PRNGKey(args.seed),
+                               max_clips=args.max_clips)
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="diffsheg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,6 +210,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--set", action="append", default=[],
                         help="config override section.field=value")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--platform", choices=["tpu", "cpu"],
+                        help="force a jax platform (some TPU plugins ignore "
+                             "the JAX_PLATFORMS env var)")
 
     sp = sub.add_parser("train", help="train a model")
     common(sp)
@@ -231,11 +251,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stats-dir")
     sp.add_argument("--workdir")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "test-stream",
+        help="arbitrary-length streaming generation over the test split")
+    common(sp)
+    sp.add_argument("--test-cache", required=True)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--stats-dir")
+    sp.add_argument("--out-dir", default="outputs/test_stream")
+    sp.add_argument("--max-clips", type=int, default=0)
+    sp.set_defaults(fn=cmd_test_stream)
     return p
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
