@@ -107,3 +107,22 @@ class TestFgdNet:
         out = model.apply(variables, jnp.ones((3, 34, 12)))
         assert out.shape == (3, 8)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestTemporalFilter:
+    def test_matches_scipy_gaussian(self):
+        from scipy.ndimage import gaussian_filter1d
+        import jax.numpy as jnp
+        from diffsheg_tpu.utils.filters import motion_temporal_filter
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 30, 5).astype(np.float32)
+        got = np.asarray(motion_temporal_filter(jnp.asarray(x), sigma=2.5))
+        ref = gaussian_filter1d(x, sigma=2.5, axis=1, mode="nearest")
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_preserves_constant(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.utils.filters import motion_temporal_filter
+        x = jnp.ones((1, 20, 3)) * 7.0
+        out = motion_temporal_filter(x, sigma=1.5)
+        np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
