@@ -27,6 +27,12 @@ from diffsheg_tpu.data.loader import (  # noqa: F401
     ShardedBatchLoader,
     device_put_sharded,
 )
+from diffsheg_tpu.data.beat_preprocess import (  # noqa: F401
+    channel_stats,
+    export_bvh_rot_dir,
+    make_vis_template,
+    subselect_and_downsample,
+)
 from diffsheg_tpu.data.show_cache import (  # noqa: F401
     ShowBuildConfig,
     build_show_cache,

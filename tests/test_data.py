@@ -276,3 +276,88 @@ class TestShowCacheBuild:
         assert b["motion"].shape == (2, 88, 232)
         # speakers 20,21 -> one-hot 0,1
         assert b["speaker"][0][0] == 1.0 and b["speaker"][1][1] == 1.0
+
+
+class TestBeatPreprocess:
+    def _full_bvh(self, tmp_path, frames=16, fps=120):
+        """Synthesize a full 75-joint BEAT-layout BVH."""
+        from diffsheg_tpu.geometry.joints import BEAT_JOINT_ORDER
+        lines = ["HIERARCHY"]
+
+        def emit(name, depth, root=False):
+            pad = "  " * depth
+            lines.append(f"{pad}{'ROOT' if root else 'JOINT'} {name}")
+            lines.append(f"{pad}{{")
+            lines.append(f"{pad}  OFFSET 0.0 1.0 0.0")
+            ch = ("CHANNELS 6 Xposition Yposition Zposition "
+                  "Zrotation Xrotation Yrotation" if root else
+                  "CHANNELS 3 Zrotation Xrotation Yrotation")
+            lines.append(f"{pad}  {ch}")
+
+        emit(BEAT_JOINT_ORDER[0], 0, root=True)
+        for j, name in enumerate(BEAT_JOINT_ORDER[1:]):
+            emit(name, j + 1)
+        lines.append("  " * len(BEAT_JOINT_ORDER) + "End Site")
+        lines.append("  " * len(BEAT_JOINT_ORDER) + "{")
+        lines.append("  " * len(BEAT_JOINT_ORDER) + "  OFFSET 0 0.1 0")
+        lines.append("  " * len(BEAT_JOINT_ORDER) + "}")
+        for d in range(len(BEAT_JOINT_ORDER), 0, -1):
+            lines.append("  " * (d - 1) + "}")
+        lines.append("MOTION")
+        lines.append(f"Frames: {frames}")
+        lines.append(f"Frame Time: {1.0 / fps:.8f}")
+        rng = np.random.RandomState(0)
+        rows = rng.randn(frames, 228) * 10
+        rows[:, 228 - 228] = 0
+        for r in rows:
+            lines.append(" ".join("%.4f" % v for v in r))
+        p = tmp_path / "full.bvh"
+        p.write_text("\n".join(lines))
+        return str(p), rows
+
+    def test_subselect_downsample(self, tmp_path):
+        from diffsheg_tpu.data.beat_preprocess import subselect_and_downsample
+        from diffsheg_tpu.geometry.joints import SPINE_NECK_141_IN_BEAT
+        path, rows = self._full_bvh(tmp_path, frames=16, fps=120)
+        rot, fps = subselect_and_downsample(path, target_fps=15.0)
+        assert fps == 15.0
+        assert rot.shape == (2, 141)  # 16 frames / factor 8
+        np.testing.assert_allclose(rot[0], rows[0][SPINE_NECK_141_IN_BEAT],
+                                   atol=1e-3)
+        np.testing.assert_allclose(rot[1], rows[8][SPINE_NECK_141_IN_BEAT],
+                                   atol=1e-3)
+
+    def test_vis_template_roundtrip(self, tmp_path):
+        from diffsheg_tpu.data.beat_preprocess import make_vis_template
+        from diffsheg_tpu.geometry.bvh import rewrite_template
+        path, rows = self._full_bvh(tmp_path, frames=4, fps=15)
+        tmpl_path = tmp_path / "template.bvh"
+        make_vis_template(path, str(tmpl_path))
+        text = tmpl_path.read_text()
+        lines = text.splitlines()
+        header_n = next(i for i, ln in enumerate(lines)
+                        if ln.startswith("Frame Time")) + 1
+        rest = np.fromstring(lines[header_n], dtype=float, sep=" ")
+        assert rest.shape == (228,)
+        np.testing.assert_allclose(rest[3:], 0.0)  # rotations zeroed
+        # the template feeds the generated-motion rewriter
+        gen = np.full((3, 141), 5.0)
+        out = rewrite_template(text, gen, header_lines=header_n)
+        body = np.loadtxt(out.splitlines()[header_n:])
+        from diffsheg_tpu.geometry.joints import SPINE_NECK_141_IN_BEAT
+        np.testing.assert_allclose(body[:, SPINE_NECK_141_IN_BEAT], 5.0)
+
+    def test_channel_stats(self, tmp_path):
+        from diffsheg_tpu.data.beat_preprocess import channel_stats
+        rng = np.random.RandomState(1)
+        d = tmp_path / "rot"
+        d.mkdir()
+        all_rows = []
+        for i in range(2):
+            rows = rng.randn(10, 6) + i
+            all_rows.append(rows)
+            np.savetxt(d / f"c{i}.bvh", rows, fmt="%.8f")
+        st = channel_stats(str(d))
+        cat = np.concatenate(all_rows)
+        np.testing.assert_allclose(st["mean"], cat.mean(0), atol=1e-6)
+        np.testing.assert_allclose(st["std"], cat.std(0), atol=1e-6)
