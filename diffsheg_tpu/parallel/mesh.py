@@ -52,3 +52,31 @@ def shard_batch(mesh: Mesh, batch):
     def put(x):
         return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
     return jax.tree.map(put, batch)
+
+
+def fsdp_sharding(mesh: Mesh, x, min_size: int = 2 ** 14) -> NamedSharding:
+    """Fully-sharded-data-parallel placement for one parameter leaf.
+
+    Shards the first axis divisible by the ``fsdp`` mesh size (largest-first
+    preference is unnecessary for these shapes); small or indivisible leaves
+    stay replicated.  XLA then inserts the all-gather before use and
+    reduce-scatter on the gradient — the ZeRO-3 pattern, for free.
+    """
+    axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    if axis is None:
+        return NamedSharding(mesh, P())
+    n = mesh.shape[axis]
+    if n <= 1 or np.size(x) < min_size:
+        return NamedSharding(mesh, P())
+    for d, dim in enumerate(np.shape(x)):
+        if dim % n == 0 and dim >= n:
+            spec = [None] * np.ndim(x)
+            spec[d] = axis
+            return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def shard_params_fsdp(mesh: Mesh, tree):
+    """Place a parameter/optimizer pytree with per-leaf FSDP shardings."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, fsdp_sharding(mesh, x)), tree)

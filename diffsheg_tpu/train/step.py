@@ -41,14 +41,24 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
-def create_train_state(cfg: Config, variables: Dict[str, Any]) -> TrainState:
+def create_train_state(cfg: Config, variables: Dict[str, Any],
+                       mesh: Optional[Mesh] = None) -> TrainState:
+    """Build the train state; with a 2-axis mesh, parameters and optimizer
+    moments are FSDP-sharded over the second (``fsdp``) axis — XLA inserts
+    the all-gather/reduce-scatter pair (ZeRO-3) around the jitted step."""
     tx = make_optimizer(cfg)
     params = variables["params"]
+    opt_state = tx.init(params)
+    if mesh is not None and len(mesh.axis_names) > 1 \
+            and mesh.shape[mesh.axis_names[1]] > 1:
+        from diffsheg_tpu.parallel.mesh import shard_params_fsdp
+        params = shard_params_fsdp(mesh, params)
+        opt_state = shard_params_fsdp(mesh, opt_state)
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(params),
+        opt_state=opt_state,
     )
 
 
