@@ -11,3 +11,11 @@ from diffsheg_tpu.diffusion.jump import (
     make_step_program,
     plain_program,
 )
+from diffsheg_tpu.diffusion.vlb import (  # noqa: F401
+    discretized_gaussian_log_likelihood,
+    learned_range_logvar,
+    normal_kl,
+    prior_kl,
+    split_learned_variance,
+    vlb_term,
+)

@@ -191,3 +191,77 @@ class TestJumpSchedules:
             assert t[i] == cur
             cur = cur - 1 if den[i] else cur + 1
         assert cur == -1
+
+
+class TestVlb:
+    def _sched(self):
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        return make_schedule(get_named_beta_schedule("linear", 100))
+
+    def test_normal_kl_zero_and_closed_form(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.diffusion.vlb import normal_kl
+        z = jnp.zeros((4,))
+        np.testing.assert_allclose(np.asarray(normal_kl(z, z, z, z)), 0.0,
+                                   atol=1e-7)
+        # KL(N(mu,1) || N(0,1)) = mu^2/2
+        mu = jnp.asarray([1.5])
+        got = normal_kl(mu, jnp.zeros(1), jnp.zeros(1), jnp.zeros(1))
+        np.testing.assert_allclose(np.asarray(got), 1.5 ** 2 / 2, rtol=1e-6)
+
+    def test_discretized_ll_is_normalized(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.diffusion.vlb import (
+            discretized_gaussian_log_likelihood)
+        # total probability over the 255-bin grid ~ 1
+        xs = jnp.linspace(-1.0, 1.0, 256)
+        ll = discretized_gaussian_log_likelihood(
+            xs, jnp.zeros_like(xs), jnp.full_like(xs, np.log(0.3)))
+        total = float(np.exp(np.asarray(ll)).sum())
+        assert 0.98 < total < 1.02
+
+    def test_vlb_term_zero_for_true_posterior(self):
+        import jax, jax.numpy as jnp
+        from diffsheg_tpu.diffusion.schedule import _gather
+        from diffsheg_tpu.diffusion.vlb import vlb_term
+        sched = self._sched()
+        B, T, C = 3, 4, 5
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, (B, T, C)) * 0.3
+        t = jnp.asarray([10, 50, 99])
+        xt = sched.q_sample(x0, t, jax.random.normal(key, x0.shape))
+        mean = sched.q_posterior_mean(x0, xt, t)
+        logvar = _gather(sched.posterior_log_variance_clipped, t, 3)
+        term = vlb_term(sched, x0, xt, t, mean,
+                        jnp.broadcast_to(logvar, xt.shape))
+        np.testing.assert_allclose(np.asarray(term), 0.0, atol=1e-5)
+
+    def test_prior_kl_small_for_standardized_data(self):
+        import jax, jax.numpy as jnp
+        from diffsheg_tpu.diffusion.vlb import prior_kl
+        sched = self._sched()
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4))
+        kl = prior_kl(sched, x0)
+        assert float(np.asarray(kl).mean()) < 0.1  # bits per dim
+
+    def test_learned_range_endpoints(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.diffusion.vlb import learned_range_logvar
+        sched = self._sched()
+        t = jnp.asarray([50])
+        lo = learned_range_logvar(sched, -jnp.ones((1, 2, 2)), t)
+        hi = learned_range_logvar(sched, jnp.ones((1, 2, 2)), t)
+        np.testing.assert_allclose(
+            np.asarray(lo)[0, 0, 0],
+            float(sched.posterior_log_variance_clipped[50]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(hi)[0, 0, 0], float(np.log(sched.betas[50])), rtol=1e-5)
+
+    def test_split_learned_variance(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.diffusion.vlb import split_learned_variance
+        x = jnp.arange(12.0).reshape(1, 2, 6)
+        a, b = split_learned_variance(x)
+        assert a.shape == b.shape == (1, 2, 3)
+        np.testing.assert_array_equal(np.asarray(a[0, 0]), [0, 1, 2])
