@@ -53,7 +53,8 @@ def main():
         mel = frontend(audio_j)
         T = mel.shape[1]
         hubert = jnp.zeros((1, T, cfg.model.hubert_dim))
-        out = stream.generate(mel, pid, key, hubert=hubert)
+        # fully-fused stream: one compiled program for all windows
+        out = stream.generate_fused(mel, pid, key, hubert=hubert)
         return out
 
     # warmup / compile

@@ -55,17 +55,30 @@ def _base_config(args) -> Config:
     return cfg
 
 
+def _open_dataset(args, cfg, cache_path, hubert_cache=None):
+    if args.dataset == "show":
+        from diffsheg_tpu.data.show import ShowDataset, ShowStats
+        assert args.stats_dir, "--stats-dir required for show " \
+            "(a talkshow_mean_std.npy file or its directory)"
+        path = args.stats_dir
+        if not path.endswith(".npy"):
+            path = os.path.join(path, "talkshow_mean_std.npy")
+        return ShowDataset(cache_path, ShowStats.load(path),
+                           hubert_cache_dir=hubert_cache)
+    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
+    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
+    return BeatDataset(cache_path, stats, hubert_cache_dir=hubert_cache)
+
+
 def cmd_train(args) -> int:
     import jax
-    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
     from diffsheg_tpu.data.loader import ShardedBatchLoader
     from diffsheg_tpu.train.trainer import Trainer
 
     cfg = _base_config(args)
-    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
-    train_ds = BeatDataset(args.train_cache, stats,
-                           hubert_cache_dir=args.hubert_cache)
-    val_ds = (BeatDataset(args.val_cache, stats)
+    train_ds = _open_dataset(args, cfg, args.train_cache,
+                             hubert_cache=args.hubert_cache)
+    val_ds = (_open_dataset(args, cfg, args.val_cache)
               if args.val_cache else None)
 
     batch = min(cfg.train.batch_size, len(train_ds))

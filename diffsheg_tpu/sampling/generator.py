@@ -105,6 +105,10 @@ class WindowGenerator:
 
         self._jit_plain = jax.jit(sample_plain)
         self._jit_repaint = jax.jit(sample_repaint)
+        # raw (unjitted) callables for composition into larger programs
+        # (the fully-fused streamer traces these inside one jit)
+        self.sample_plain_fn = sample_plain
+        self.sample_repaint_fn = sample_repaint
 
     # -- public API -------------------------------------------------------
     def generate(

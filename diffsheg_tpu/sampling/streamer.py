@@ -61,11 +61,22 @@ def window_starts(seq_len: int, size: int, step: int) -> List[int]:
 
 
 class StreamingGenerator:
-    """Drives a :class:`WindowGenerator` over arbitrary-length conditioning."""
+    """Drives a :class:`WindowGenerator` over arbitrary-length conditioning.
+
+    Two execution modes:
+      - :meth:`generate` — host window loop, one compiled call per window
+        (general: supports ``same_overlap_noisy`` tail reuse);
+      - :meth:`generate_fused` — the ENTIRE stream as one jit: window 0, a
+        ``lax.scan`` over the uniform middle windows (carry = previous
+        window's sample), and the final (possibly left-shifted) window, with
+        output assembly on device.  Zero host round-trips per window — the
+        sequential RePaint dependency stays, but dispatch latency vanishes.
+    """
 
     def __init__(self, gen: WindowGenerator):
         self.gen = gen
         self.cfg = gen.cfg
+        self._fused_cache = {}
 
     def generate(
         self,
@@ -126,6 +137,117 @@ class StreamingGenerator:
         result = jnp.concatenate(chunks, axis=1)
         assert result.shape[1] == T, (result.shape, T)
         return result
+
+    # -- fully-fused path --------------------------------------------------
+    def generate_fused(
+        self,
+        mel: jax.Array,                      # (B, T, n_mels)
+        person_id: jax.Array,                # (B, style_dim)
+        rng: jax.Array,
+        hubert: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Whole-stream generation as ONE compiled program."""
+        cfg = self.cfg
+        assert not cfg.stream.same_overlap_noisy, (
+            "same_overlap_noisy carries per-level tails; use generate()")
+        size = cfg.data.n_poses
+        overlap = cfg.stream.overlap_len
+        step = size - overlap
+        B, T = mel.shape[0], mel.shape[1]
+        if T <= size:
+            return self._short_sequence(mel, person_id, rng, hubert, T)
+
+        starts = window_starts(T, size, step)
+        keys = []
+        for _ in starts:
+            rng, k = jax.random.split(rng)
+            keys.append(k)
+        keys = jnp.stack(keys)
+
+        sig = (B, T, hubert is not None)
+        fn = self._fused_cache.get(sig)
+        if fn is None:
+            fn = jax.jit(self._build_fused(starts, size, step, overlap, T,
+                                           hubert is not None))
+            self._fused_cache[sig] = fn
+        return fn(self.gen.variables, mel, person_id, hubert, keys)
+
+    def _build_fused(self, starts, size, step, overlap, T, has_hubert):
+        cfg = self.cfg
+        C = cfg.model.motion_dim
+        gen = self.gen
+        K = len(starts)
+        # static layout facts (starts are uniform except a possibly
+        # left-shifted final window)
+        last_s = starts[-1]
+        last_tail_from = last_s - starts[-2] if K > 1 else 0
+        emitted_before_last = starts[-2] + step if K > 1 else 0
+        last_new_from = emitted_before_last - last_s  # >= 0, static
+
+        def slice_w(x, s):
+            return jax.lax.dynamic_slice_in_dim(x, s, size, axis=1) \
+                if x is not None else None
+
+        def with_head(gt_head):
+            B = gt_head.shape[0]
+            gt = jnp.zeros((B, size, C), dtype=jnp.float32)
+            return gt.at[:, :overlap].set(gt_head)
+
+        def fused(variables, mel, person_id, hubert, keys):
+            B = mel.shape[0]
+
+            # window 0
+            mel0, hub0 = slice_w(mel, 0), slice_w(hubert, 0)
+            if cfg.stream.fix_very_first and overlap > 0:
+                out0, _ = gen.sample_repaint_fn(
+                    variables, mel0, person_id, hub0,
+                    jnp.zeros((B, size, C)), None, keys[0])
+            else:
+                out0 = gen.sample_plain_fn(variables, mel0, person_id, hub0,
+                                           keys[0])
+
+            mids = starts[1:-1]
+            if mids:
+                mel_mid = jnp.stack([slice_w(mel, s) for s in mids])
+                hub_mid = (jnp.stack([slice_w(hubert, s) for s in mids])
+                           if has_hubert else jnp.zeros((len(mids),)))
+
+                def body(prev_out, inp):
+                    mel_w, hub_w, key = inp
+                    gt = with_head(prev_out[:, step:])
+                    out, _ = gen.sample_repaint_fn(
+                        variables, mel_w,
+                        person_id, hub_w if has_hubert else None,
+                        gt, None, key)
+                    return out, out[:, :step]
+
+                prev_out, mid_emit = jax.lax.scan(
+                    body, out0, (mel_mid, hub_mid, keys[1:-1]))
+            else:
+                prev_out, mid_emit = out0, None
+
+            # final window (left-shifted when the stride doesn't divide)
+            gt_last = with_head(
+                prev_out[:, last_tail_from:last_tail_from + overlap])
+            out_last, _ = gen.sample_repaint_fn(
+                variables, slice_w(mel, last_s), person_id,
+                slice_w(hubert, last_s), gt_last, None, keys[-1])
+
+            # on-device assembly
+            res = jnp.zeros((B, T, C), dtype=jnp.float32)
+            res = jax.lax.dynamic_update_slice_in_dim(
+                res, out0[:, :step], 0, axis=1)
+            if mid_emit is not None:
+                flat = jnp.moveaxis(mid_emit, 0, 1).reshape(
+                    B, len(mids) * step, C)
+                res = jax.lax.dynamic_update_slice_in_dim(
+                    res, flat, step, axis=1)
+            res = jax.lax.dynamic_update_slice_in_dim(
+                res, out_last[:, last_new_from:],
+                last_s + last_new_from, axis=1)
+            return res
+
+        return fused
 
     def _short_sequence(self, mel, person_id, rng, hubert, T):
         """Sequence no longer than one window: pad to the static window size

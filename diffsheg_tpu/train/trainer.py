@@ -66,7 +66,8 @@ class Trainer:
             cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
 
         with self.mesh:
-            self.state: TrainState = create_train_state(cfg, variables)
+            self.state: TrainState = create_train_state(cfg, variables,
+                                                        mesh=self.mesh)
         # two step variants: epoch-gated velocity/x0 terms
         self._step_full = make_train_step(cfg, self.schedule, mesh=self.mesh,
                                           vel_loss_active=True)

@@ -189,3 +189,47 @@ class TestWindowGeneratorIntegration:
         starts = window_starts(T, 34, 30)
         assert starts[-1] + 34 == T
         assert all(s + 34 <= T for s in starts)
+
+
+class TestFusedStreamer:
+    def _setup(self, T):
+        import dataclasses
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        from diffsheg_tpu.sampling.generator import WindowGenerator
+        from diffsheg_tpu.sampling.streamer import StreamingGenerator
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=False))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+        stream = StreamingGenerator(WindowGenerator(cfg, variables))
+        B = 2
+        mel = jax.random.normal(jax.random.PRNGKey(1),
+                                (B, T, cfg.model.audio_dim))
+        pid = jax.nn.one_hot(jnp.arange(B), cfg.model.style_dim)
+        return cfg, stream, mel, pid
+
+    def test_fused_matches_host_loop(self):
+        # T=100: windows [0, 30, 60, 66] — exercises mid scan AND the
+        # left-shifted final window.
+        cfg, stream, mel, pid = self._setup(100)
+        rng = jax.random.PRNGKey(7)
+        host = np.asarray(stream.generate(mel, pid, rng))
+        fused = np.asarray(stream.generate_fused(mel, pid, rng))
+        assert fused.shape == host.shape == (2, 100, cfg.model.motion_dim)
+        np.testing.assert_allclose(fused, host, atol=2e-4, rtol=2e-4)
+
+    def test_fused_uniform_last_window(self):
+        # T=94: starts [0, 30, 60], 60+34=94 — no shifted window.
+        cfg, stream, mel, pid = self._setup(94)
+        rng = jax.random.PRNGKey(3)
+        host = np.asarray(stream.generate(mel, pid, rng))
+        fused = np.asarray(stream.generate_fused(mel, pid, rng))
+        np.testing.assert_allclose(fused, host, atol=2e-4, rtol=2e-4)
+
+    def test_fused_short_sequence_falls_back(self):
+        cfg, stream, mel, pid = self._setup(20)
+        out = stream.generate_fused(mel, pid, jax.random.PRNGKey(0))
+        assert out.shape == (2, 20, cfg.model.motion_dim)
