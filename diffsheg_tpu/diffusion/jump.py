@@ -25,7 +25,8 @@ def jump_schedule(t_T: int, jump_length: int, jump_n_sample: int) -> List[int]:
     """
     jumps = {j: jump_n_sample - 1 for j in range(0, t_T - jump_length, jump_length)}
     t = t_T
-    ts = [t]
+    ts: List[int] = []  # NOTE: t_T itself is not walked — the first
+    # transition pair is (t_T - 1, t_T - 2) (reference scheduler.py:192-203)
     while t >= 1:
         t -= 1
         ts.append(t)

@@ -1,0 +1,187 @@
+"""Numerical parity vs the reference implementation (gated).
+
+When the reference checkout is mounted (at /root/reference or
+$DIFFSHEG_REFERENCE), import its diffusion modules and compare our pure-jnp
+rebuild against the torch originals: beta schedules, coefficient tables,
+q_sample, DDIM updates, respacing maps, and jump schedules.  Skipped
+entirely when the reference is absent — the framework is standalone; these
+are cross-checks, not dependencies.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = os.environ.get("DIFFSHEG_REFERENCE", "/root/reference")
+
+if not os.path.isdir(os.path.join(REF, "models")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, REF)
+try:
+    from models import gaussian_diffusion as ref_gd  # noqa: E402
+    from models import respace as ref_respace  # noqa: E402
+    from models import scheduler as ref_scheduler  # noqa: E402
+except Exception as e:  # pragma: no cover
+    pytest.skip(f"reference import failed: {e}", allow_module_level=True)
+
+from diffsheg_tpu.diffusion.jump import jump_schedule_ddim  # noqa: E402
+from diffsheg_tpu.diffusion.respace import (  # noqa: E402
+    make_respaced_schedule,
+    space_timesteps,
+)
+from diffsheg_tpu.diffusion.sampler import ddim_update  # noqa: E402
+from diffsheg_tpu.diffusion.schedule import (  # noqa: E402
+    get_named_beta_schedule,
+    make_schedule,
+)
+
+
+def _ref_opt():
+    """Minimal namespace for the reference's sampler-time flags."""
+    from types import SimpleNamespace
+    return SimpleNamespace(same_overlap_noisy=False, fix_head_var=False,
+                           dataset_name="beat", unidiffuser=False,
+                           overlap_len=4, addBlend=True)
+
+
+def _ref_diffusion(betas):
+    return ref_gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type=ref_gd.ModelMeanType.EPSILON,
+        model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+        loss_type=ref_gd.LossType.MSE,
+        opt=_ref_opt(),
+    )
+
+
+class TestSchedules:
+    @pytest.mark.parametrize("name", ["linear", "cosine"])
+    def test_betas_match(self, name):
+        ours = get_named_beta_schedule(name, 1000)
+        ref = ref_gd.get_named_beta_schedule(name, 1000)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+    def test_coefficient_tables_match(self):
+        betas = get_named_beta_schedule("linear", 1000)
+        ours = make_schedule(betas)
+        ref = _ref_diffusion(betas)
+        for our_name, ref_name in [
+            ("alphas_cumprod", "alphas_cumprod"),
+            ("alphas_cumprod_prev", "alphas_cumprod_prev"),
+            ("sqrt_alphas_cumprod", "sqrt_alphas_cumprod"),
+            ("sqrt_one_minus_alphas_cumprod", "sqrt_one_minus_alphas_cumprod"),
+            ("sqrt_recip_alphas_cumprod", "sqrt_recip_alphas_cumprod"),
+            ("sqrt_recipm1_alphas_cumprod", "sqrt_recipm1_alphas_cumprod"),
+            ("posterior_variance", "posterior_variance"),
+            ("posterior_log_variance_clipped",
+             "posterior_log_variance_clipped"),
+            ("posterior_mean_coef1", "posterior_mean_coef1"),
+            ("posterior_mean_coef2", "posterior_mean_coef2"),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(getattr(ours, our_name)),
+                np.asarray(getattr(ref, ref_name)),
+                rtol=2e-6, err_msg=our_name)
+
+    def test_q_sample_matches(self):
+        betas = get_named_beta_schedule("linear", 1000)
+        ours = make_schedule(betas)
+        ref = _ref_diffusion(betas)
+        rng = np.random.RandomState(0)
+        x0 = rng.randn(4, 6, 8).astype(np.float32)
+        noise = rng.randn(4, 6, 8).astype(np.float32)
+        t = np.asarray([0, 10, 500, 999])
+        import jax.numpy as jnp
+        got = np.asarray(ours.q_sample(jnp.asarray(x0), jnp.asarray(t),
+                                       jnp.asarray(noise)))
+        want = ref.q_sample(torch.from_numpy(x0), torch.from_numpy(t),
+                            torch.from_numpy(noise)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestRespacing:
+    @pytest.mark.parametrize("spec", ["ddim25", "ddim50", "25", "10,10,5"])
+    def test_space_timesteps_match(self, spec):
+        ours = space_timesteps(1000, spec)
+        ref = ref_respace.space_timesteps(1000, spec)
+        assert set(ours) == set(ref)
+
+    def test_respaced_betas_match(self):
+        base = get_named_beta_schedule("linear", 1000)
+        use = space_timesteps(1000, "ddim25")
+        ours, tmap = make_respaced_schedule(base, use)
+        ref = ref_respace.SpacedDiffusion(
+            use_timesteps=use,
+            betas=base,
+            model_mean_type=ref_gd.ModelMeanType.EPSILON,
+            model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+            loss_type=ref_gd.LossType.MSE,
+            opt=_ref_opt(),
+        )
+        np.testing.assert_allclose(np.asarray(ours.betas),
+                                   np.asarray(ref.betas), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(tmap),
+                                      np.asarray(ref.timestep_map))
+
+
+class TestJumpSchedules:
+    @pytest.mark.parametrize("jl,jns", [(1, 1), (3, 5), (2, 2)])
+    def test_cjm_ddim_schedule_matches(self, jl, jns):
+        ours = jump_schedule_ddim(25, jump_length=jl, jump_n_sample=jns)
+        ref = ref_scheduler.get_schedule_jump_cjm_ddim(
+            time_respacing=25, jump_length=jl, jump_n_sample=jns)
+        assert list(ours) == list(ref)
+
+
+class TestDdimUpdate:
+    def test_ddim_step_matches_reference_formula(self):
+        """One eta=0 DDIM transition against the reference's ddim_sample
+        equations (gaussian_diffusion.py:1009-1032), evaluated directly."""
+        betas = get_named_beta_schedule("linear", 1000)
+        sched = make_schedule(betas)
+        ref = _ref_diffusion(betas)
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 4, 6).astype(np.float32)
+        x0 = (0.5 * rng.randn(2, 4, 6)).astype(np.float32)
+        t = np.asarray([100, 700])
+
+        import jax.numpy as jnp
+        got = np.asarray(ddim_update(
+            sched, jnp.asarray(x), jnp.asarray(t), jnp.asarray(x0),
+            jnp.zeros_like(jnp.asarray(x)), eta=0.0))
+
+        # reference formula with torch tables
+        tt = torch.from_numpy(t)
+        xt = torch.from_numpy(x)
+        xs = torch.from_numpy(x0)
+        def gather(arr):
+            return ref_gd._extract_into_tensor(arr, tt, xt.shape)
+        eps = (gather(ref.sqrt_recip_alphas_cumprod) * xt - xs) \
+            / gather(ref.sqrt_recipm1_alphas_cumprod)
+        ab_prev = gather(ref.alphas_cumprod_prev)
+        want = (xs * torch.sqrt(ab_prev)
+                + torch.sqrt(1.0 - ab_prev) * eps).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_undo_matches_reference(self):
+        betas = get_named_beta_schedule("linear", 1000)
+        sched = make_schedule(betas)
+        ref = _ref_diffusion(betas)
+        rng = np.random.RandomState(2)
+        x = rng.randn(2, 3, 4).astype(np.float32)
+        noise = rng.randn(2, 3, 4).astype(np.float32)
+        t = np.asarray([50, 400])
+        import jax.numpy as jnp
+        got = np.asarray(sched.undo(jnp.asarray(x), jnp.asarray(t),
+                                    jnp.asarray(noise)))
+        tt = torch.from_numpy(t)
+        xt = torch.from_numpy(x)
+        beta = ref_gd._extract_into_tensor(ref.betas, tt, xt.shape)
+        want = (torch.sqrt(1.0 - beta) * xt
+                + torch.sqrt(beta) * torch.from_numpy(noise)).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
