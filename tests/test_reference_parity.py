@@ -185,3 +185,86 @@ class TestDdimUpdate:
         want = (torch.sqrt(1.0 - beta) * xt
                 + torch.sqrt(beta) * torch.from_numpy(noise)).numpy()
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFullModelParity:
+    """Converted reference UniDiffuser must reproduce the torch forward."""
+
+    def _ref_model_opt(self, P, E):
+        from types import SimpleNamespace
+        return SimpleNamespace(
+            cond_projection="mlp_includeX", cond_residual=True,
+            classifier_free=False, null_cond_prob=0.2, cond_scale=1,
+            dim_pose=P, expression_dim=E, split_pos=P,
+            expression_only=False, gesture_only=False,
+            expCondition_gesture_only=None, gesCondition_expression_only=False,
+            ExprID_off=False, ExprID_off_uncond=False, no_style=False,
+            addTextCond=False, addEmoCond=False,
+            addHubert=True, addWav2Vec2=False, expAddHubert=False,
+            encode_hubert=True, encode_wav2vec2=False,
+            emotion_f=0, word_f=0, higher_dim=0, lower_dim=0,
+            model_base="transformer_encoder", separate=None,
+            unidiffuser=True, visualize_unify_x0_step=0,
+            unify_x0_step_path="",
+        )
+
+    def test_forward_matches_reference_torch(self):
+        import types
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            m = types.ModuleType("cv2"); m.norm = None
+            sys.modules["cv2"] = m
+        from models import transformer as ref_tr
+
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from diffsheg_tpu.compat.torch_ckpt import (
+            convert_unidiffuser_state_dict)
+        from diffsheg_tpu.config import ModelConfig
+        from diffsheg_tpu.models.unidiffuser import UniDiffuser
+
+        P, E, L, H, FF, S, T, B = 21, 11, 64, 4, 128, 6, 16, 2
+        opt = self._ref_model_opt(P, E)
+        torch.manual_seed(0)
+        ref = ref_tr.UniDiffuser(
+            opt, input_feats=P + E, audio_dim=128, style_dim=S,
+            num_frames=T, latent_dim=L, ff_size=FF, num_layers=2,
+            num_heads=H, dropout=0, pe_type="pe_sinu").eval()
+
+        cfg = ModelConfig(
+            pose_dim=P, expression_dim=E, latent_dim=L, num_layers=2,
+            num_heads=H, ff_size=FF, audio_dim=128, aud_latent_dim=256,
+            style_dim=S, pe_type="pe_sinu", add_hubert=True,
+            encode_hubert=True, hubert_dim=1024, hubert_latent_dim=128)
+        variables = convert_unidiffuser_state_dict(ref.state_dict(), cfg)
+        ours = UniDiffuser(cfg)
+
+        rng = np.random.RandomState(0)
+        x = rng.randn(B, T, P + E).astype(np.float32)
+        mel = rng.randn(B, T, 128).astype(np.float32)
+        hubert = (rng.randn(B, T, 1024) * 0.3).astype(np.float32)
+        pid = np.eye(S, dtype=np.float32)[[1, 3]]
+        t = np.asarray([7, 450])
+        sr = np.asarray([1.1, 2.3], dtype=np.float32).reshape(B, 1, 1)
+        srm1 = np.asarray([0.4, 2.1], dtype=np.float32).reshape(B, 1, 1)
+
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(x), torch.from_numpy(t),
+                (torch.from_numpy(sr), torch.from_numpy(srm1)),
+                torch.from_numpy(mel),
+                torch.LongTensor([T] * B),
+                torch.from_numpy(pid),
+                add_cond={"pretrain_aud_feat": torch.from_numpy(hubert)},
+                pe_type="pe_sinu",
+            ).numpy()
+
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(t),
+            (jnp.asarray(sr), jnp.asarray(srm1)), jnp.asarray(mel),
+            jnp.asarray(pid), hubert=jnp.asarray(hubert), train=False))
+
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
