@@ -268,3 +268,79 @@ class TestFullModelParity:
 
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+class TestFullModelParityVariants(TestFullModelParity):
+    def _build_pair(self, pe_type="pe_sinu", classifier_free=False,
+                    cond_scale=1.0):
+        import types
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            m = types.ModuleType("cv2"); m.norm = None
+            sys.modules["cv2"] = m
+        from models import transformer as ref_tr
+        from diffsheg_tpu.compat.torch_ckpt import (
+            convert_unidiffuser_state_dict)
+        from diffsheg_tpu.config import ModelConfig
+        from diffsheg_tpu.models.unidiffuser import UniDiffuser
+
+        P, E, L, H, FF, S, T = 21, 11, 64, 4, 128, 6, 16
+        opt = self._ref_model_opt(P, E)
+        opt.classifier_free = classifier_free
+        opt.cond_scale = cond_scale
+        torch.manual_seed(0)
+        ref = ref_tr.UniDiffuser(
+            opt, input_feats=P + E, audio_dim=128, style_dim=S,
+            num_frames=T, latent_dim=L, ff_size=FF, num_layers=2,
+            num_heads=H, dropout=0, pe_type=pe_type).eval()
+        cfg = ModelConfig(
+            pose_dim=P, expression_dim=E, latent_dim=L, num_layers=2,
+            num_heads=H, ff_size=FF, audio_dim=128, aud_latent_dim=256,
+            style_dim=S, pe_type=pe_type, add_hubert=True,
+            encode_hubert=True, hubert_dim=1024, hubert_latent_dim=128,
+            classifier_free=classifier_free, cond_scale=cond_scale)
+        variables = convert_unidiffuser_state_dict(ref.state_dict(), cfg)
+        return ref, UniDiffuser(cfg), variables, (P, E, S, T)
+
+    def _compare(self, ref, ours, variables, dims, pe_type,
+                 cfg_inference=False):
+        import jax.numpy as jnp
+        P, E, S, T = dims
+        B = 2
+        rng = np.random.RandomState(1)
+        x = rng.randn(B, T, P + E).astype(np.float32)
+        mel = rng.randn(B, T, 128).astype(np.float32)
+        hubert = (rng.randn(B, T, 1024) * 0.3).astype(np.float32)
+        pid = np.eye(S, dtype=np.float32)[[0, 2]]
+        t = np.asarray([3, 800])
+        sr = np.ones((B, 1, 1), np.float32) * 1.2
+        srm1 = np.ones((B, 1, 1), np.float32) * 0.7
+        with torch.no_grad():
+            want = ref(
+                torch.from_numpy(x), torch.from_numpy(t),
+                (torch.from_numpy(sr), torch.from_numpy(srm1)),
+                torch.from_numpy(mel), torch.LongTensor([T] * B),
+                torch.from_numpy(pid),
+                add_cond={"pretrain_aud_feat": torch.from_numpy(hubert)},
+                pe_type=pe_type,
+            ).numpy()
+        got = np.asarray(ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(t),
+            (jnp.asarray(sr), jnp.asarray(srm1)), jnp.asarray(mel),
+            jnp.asarray(pid), hubert=jnp.asarray(hubert), train=False,
+            cfg_inference=cfg_inference))
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-4)
+
+    @pytest.mark.parametrize("pe", ["pe_sinu", "ppe_sinu", "pe_sinu_repeat"])
+    def test_pe_variants(self, pe):
+        ref, ours, variables, dims = self._build_pair(pe_type=pe)
+        self._compare(ref, ours, variables, dims, pe)
+
+    def test_cfg_guidance_merge(self):
+        """classifier_free + cond_scale != 1: the reference batch-doubles
+        inside the branches at eval; ours must reproduce the merged output."""
+        ref, ours, variables, dims = self._build_pair(
+            classifier_free=True, cond_scale=1.15)
+        self._compare(ref, ours, variables, dims, "pe_sinu",
+                      cfg_inference=True)
