@@ -344,3 +344,85 @@ class TestFullModelParityVariants(TestFullModelParity):
             classifier_free=True, cond_scale=1.15)
         self._compare(ref, ours, variables, dims, "pe_sinu",
                       cfg_inference=True)
+
+
+class TestSamplingLoopParity(TestFullModelParityVariants):
+    def _loop_opt(self, P, E):
+        opt = self._ref_model_opt(P, E)
+        # sampler-time flags (gaussian_diffusion.py reads these)
+        opt.unidiffuser = True
+        opt.no_repaint = True
+        opt.same_overlap_noisy = False
+        opt.fix_head_var = False
+        opt.dataset_name = "beat"
+        opt.overlap_len = 4
+        opt.addBlend = True
+        opt.no_resample = True
+        opt.timestep_respacing = "ddim25"
+        opt.jump_length = 1
+        opt.jump_n_sample = 1
+        return opt
+
+    def test_full_ddim25_loop_matches(self):
+        """End-to-end DDIM-25 chain: same x_T, converted weights -> the whole
+        25-step reverse process must track the reference loop (eta=0 is
+        deterministic; clip_denoised bounds drift)."""
+        import jax, jax.numpy as jnp
+        from diffsheg_tpu.diffusion.jump import plain_program
+        from diffsheg_tpu.diffusion.respace import (make_respaced_schedule,
+                                                    space_timesteps)
+        from diffsheg_tpu.diffusion.sampler import ddim_sample_program
+        from diffsheg_tpu.diffusion.schedule import (_gather,
+                                                     get_named_beta_schedule)
+
+        ref_model, ours_model, variables, dims = self._build_pair()
+        P, E, S, T = dims
+        B = 2
+        rng = np.random.RandomState(3)
+        x_T = rng.randn(B, T, P + E).astype(np.float32)
+        mel = rng.randn(B, T, 128).astype(np.float32)
+        hubert = (rng.randn(B, T, 1024) * 0.3).astype(np.float32)
+        pid = np.eye(S, dtype=np.float32)[[0, 2]]
+
+        base = get_named_beta_schedule("linear", 1000)
+        # reference chain
+        ref_diff = ref_respace.SpacedDiffusion(
+            use_timesteps=space_timesteps(1000, "ddim25"),
+            betas=base,
+            model_mean_type=ref_gd.ModelMeanType.EPSILON,
+            model_var_type=ref_gd.ModelVarType.FIXED_SMALL,
+            loss_type=ref_gd.LossType.MSE,
+            opt=self._loop_opt(P, E),
+        )
+        with torch.no_grad():
+            want = ref_diff.ddim_sample_loop(
+                ref_model, (B, T, P + E), noise=torch.from_numpy(x_T),
+                clip_denoised=True,
+                model_kwargs=dict(
+                    audio_emb=torch.from_numpy(mel),
+                    length=torch.LongTensor([T] * B),
+                    person_id=torch.from_numpy(pid),
+                    add_cond={"pretrain_aud_feat": torch.from_numpy(hubert)},
+                    pe_type="pe_sinu",
+                    y={},
+                ),
+            ).numpy()
+
+        # our chain: same components the WindowGenerator assembles
+        sched, tmap = make_respaced_schedule(
+            base, space_timesteps(1000, "ddim25"))
+
+        def denoise_fn(x, t):
+            sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
+            srm1 = _gather(sched.sqrt_recipm1_alphas_cumprod, t, 3)
+            return ours_model.apply(
+                variables, x, jnp.take(jnp.asarray(tmap), t), (sr, srm1),
+                jnp.asarray(mel), jnp.asarray(pid),
+                hubert=jnp.asarray(hubert), train=False)
+
+        got, _ = ddim_sample_program(
+            sched, denoise_fn, plain_program(25), jnp.asarray(x_T),
+            jax.random.PRNGKey(0), mean_type="epsilon", clip_denoised=True)
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
