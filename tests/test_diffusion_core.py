@@ -141,37 +141,38 @@ class TestRespacing:
 
 class TestJumpSchedules:
     def test_walk_is_unit_steps(self):
+        # the walk starts at t_T - 1 (reference scheduler.py:192-196)
         ts = jump_schedule_ddim(25, jump_length=3, jump_n_sample=5)
-        assert ts[0] == 15 and ts[-1] == -1
+        assert ts[0] == 14 and ts[-1] == -1
         for a, b in zip(ts[:-1], ts[1:]):
             assert abs(a - b) == 1
 
     def test_default_counts(self):
-        # t_T=15: base descent 15..0 plus the final 0->-1 = 16 denoise
+        # t_T=15: base descent 14..0 plus the final 0->-1 = 15 denoise
         # transitions; jump sites {0,3,6,9} each revisited 4 extra times with
-        # 3 undo + 3 denoise per excursion: denoise = 16 + 48 = 64, undo = 48.
+        # 3 undo + 3 denoise per excursion: denoise = 15 + 48 = 63, undo = 48.
         ts = jump_schedule_ddim(25, jump_length=3, jump_n_sample=5)
         prog = make_step_program(ts)
-        assert prog.num_transitions == 112
-        assert prog.num_model_calls == 64
+        assert prog.num_transitions == 111
+        assert prog.num_model_calls == 63
 
     def test_fast_counts(self):
-        # jump_n_sample=2: denoise = 16 + 4*1*3 = 28, undo = 12.
+        # jump_n_sample=2: denoise = 15 + 4*1*3 = 27, undo = 12.
         prog = make_step_program(jump_schedule_ddim(25, 3, 2))
-        assert prog.num_transitions == 40
-        assert prog.num_model_calls == 28
+        assert prog.num_transitions == 39
+        assert prog.num_model_calls == 27
 
     def test_no_resample_is_plain_descent(self):
         ts = jump_schedule_ddim(25, jump_length=1, jump_n_sample=1)
-        assert ts == list(range(15, -2, -1))
+        assert ts == list(range(14, -2, -1))
 
     def test_non25_respacing_truncates_to_60pct(self):
         ts = jump_schedule_ddim(50, 1, 1)
-        assert ts[0] == 30
+        assert ts[0] == 29  # walk starts at t_T - 1 = 30 - 1
 
     def test_generic_t_T(self):
         ts = jump_schedule(10, jump_length=2, jump_n_sample=3)
-        assert ts[0] == 10 and ts[-1] == -1
+        assert ts[0] == 9 and ts[-1] == -1
         for a, b in zip(ts[:-1], ts[1:]):
             assert abs(a - b) == 1
 

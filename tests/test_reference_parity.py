@@ -426,3 +426,46 @@ class TestSamplingLoopParity(TestFullModelParityVariants):
         got = np.asarray(got)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+class TestRepaintProjection:
+    def test_projection_matches_reference_formula(self):
+        """RePaint overlap projection with FIXED noise against the reference
+        equations (gaussian_diffusion.py:1034-1056): weighed_gt =
+        sqrt(ab_prev)*gt + sqrt(1-ab_prev)*noise on the head frames, with the
+        linear cross-fade at low noise when addBlend."""
+        import jax.numpy as jnp
+        from diffsheg_tpu.diffusion.respace import (make_respaced_schedule,
+                                                    space_timesteps)
+        from diffsheg_tpu.diffusion.sampler import RepaintSpec, repaint_project
+        from diffsheg_tpu.diffusion.schedule import get_named_beta_schedule
+
+        base = get_named_beta_schedule("linear", 1000)
+        sched, _ = make_respaced_schedule(base,
+                                          space_timesteps(1000, "ddim25"))
+        B, T, C, ov = 2, 10, 4, 3
+        rng = np.random.RandomState(0)
+        x = rng.randn(B, T, C).astype(np.float32)
+        gt = rng.randn(B, T, C).astype(np.float32)
+        noise = rng.randn(B, T, C).astype(np.float32)
+
+        for t_scalar in (2, 20):  # high noise (no blend) and low noise
+            t = np.full((B,), t_scalar)
+            spec = RepaintSpec(overlap_len=ov, add_blend=True)
+            got = np.asarray(repaint_project(
+                sched, spec, jnp.asarray(x), jnp.asarray(t), jnp.asarray(gt),
+                jnp.asarray(noise)))
+
+            ab_prev = np.asarray(sched.alphas_cumprod_prev)[t_scalar]
+            nw = np.sqrt(1.0 - ab_prev)
+            weighed = np.sqrt(ab_prev) * gt + nw * noise
+            head = weighed[:, :ov].copy()
+            if nw < 0.2:  # addBlend active (reference :1051-1054)
+                w = np.linspace(0, 1, ov).reshape(1, ov, 1)
+                head = head * (1 - w) + x[:, :ov] * w
+            want = x.copy()
+            want[:, :ov] = head
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"t={t_scalar} nw={nw:.3f}")
+            # frames past the overlap are untouched
+            np.testing.assert_array_equal(got[:, ov:], x[:, ov:])

@@ -84,3 +84,46 @@ class TestTrainerFit:
         assert np.isfinite(res.pck)
         assert np.isfinite(res.diversity)
         assert np.isnan(res.fgd)  # no FGD net provided
+
+
+class TestShowTraining:
+    def test_show_config_train_step(self, tmp_path):
+        """SHOW preset (CFG training, speaker one-hot, no sem weighting)
+        drives the trainer end to end on synthetic data."""
+        import dataclasses
+        from diffsheg_tpu.config import show_config
+        from diffsheg_tpu.data.loader import ShardedBatchLoader
+
+        cfg = show_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, latent_dim=32, num_layers=1, num_heads=2,
+                ff_size=64, add_hubert=False),
+            data=dataclasses.replace(cfg.data, n_poses=8),
+            train=dataclasses.replace(
+                cfg.train, batch_size=8, num_epochs=1, log_every=1,
+                save_every_epochs=0, eval_every_epochs=0),
+        )
+
+        class _ShowSynth:
+            def __init__(self, m, n=8, T=8):
+                rng = np.random.RandomState(0)
+                self.d = {
+                    "motion": rng.randn(n, T, m.motion_dim).astype(np.float32),
+                    "mel": rng.randn(n, T, m.audio_dim).astype(np.float32),
+                    "speaker": np.eye(m.style_dim, dtype=np.float32)[
+                        rng.randint(0, m.style_dim, n)],
+                }
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def batch(self, idx):
+                return {k: v[idx] for k, v in self.d.items()}
+
+        ds = _ShowSynth(cfg.model)
+        tr = Trainer(cfg, str(tmp_path / "show_run"))
+        tr.fit(ShardedBatchLoader(ds, global_batch_size=8, prefetch=0),
+               num_epochs=1)
+        assert tr.total_it == 1
