@@ -81,6 +81,11 @@ class CustomAudioPipeline:
                 hubert.block_until_ready()
         return mel, hubert
 
+    def _sample(self, mel_b, pid, rng, hub_b):
+        if self.cfg.stream.same_overlap_noisy:
+            return self.streamer.generate(mel_b, pid, rng, hub_b)
+        return self.streamer.generate_fused(mel_b, pid, rng, hub_b)
+
     def generate(self, wav_path: str, speaker_ids: Sequence[int],
                  seed: int = 0) -> GenerationResult:
         """Generate all requested speaker styles in one batch."""
@@ -92,8 +97,7 @@ class CustomAudioPipeline:
         pid = jax.nn.one_hot(jnp.asarray(speaker_ids),
                              self.cfg.model.style_dim)
         with timer.stage("sampler"):
-            out = self.streamer.generate(mel_b, pid,
-                                         jax.random.PRNGKey(seed), hub_b)
+            out = self._sample(mel_b, pid, jax.random.PRNGKey(seed), hub_b)
             out.block_until_ready()
         T = out.shape[1]
         return GenerationResult(
@@ -102,6 +106,23 @@ class CustomAudioPipeline:
             rtf=timer.rtf(T, self.cfg.data.fps),
             stages=timer.report(),
         )
+
+    def warmup(self, seconds: float, num_speakers: int = 1,
+               sr: int = 16000) -> None:
+        """Trigger every jit compile with synthetic audio of the target
+        length, so subsequent :meth:`generate` timings measure steady-state
+        serving (first-call timings are compile-dominated; the reference's
+        RTF print has no compile phase to exclude because torch is eager)."""
+        import tempfile, wave as wave_mod
+        t = np.arange(int(seconds * sr)) / sr
+        sig = (0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            with wave_mod.open(f.name, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes((sig * 32767).astype("<i2").tobytes())
+            self.generate(f.name, list(range(num_speakers)), seed=0)
 
     # -- postprocess / export ---------------------------------------------
     def export_beat(self, motion: np.ndarray, out_dir: str, name: str,

@@ -111,6 +111,10 @@ def cmd_generate(args) -> int:
     pipe = CustomAudioPipeline(cfg, variables,
                                motion_mean=mean, motion_std=std)
     speakers = [int(s) for s in args.speakers.split(",")]
+    if args.warmup:
+        from diffsheg_tpu.audio.wav import load_wav
+        y, sr = load_wav(args.audio)
+        pipe.warmup(len(y) / sr, num_speakers=len(speakers))
     res = pipe.generate(args.audio, speakers, seed=args.seed)
     print(f"generated {res.motion.shape} | {res.fps:.1f} FPS "
           f"({res.rtf:.2f}x real-time) | stages: "
@@ -247,6 +251,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--speakers", default="1,3,5,7",
                     help="comma-separated speaker indices")
     sp.add_argument("--template-bvh")
+    sp.add_argument("--warmup", action="store_true",
+                    help="compile first so the reported RTF is steady-state")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("build-cache", help="build a dataset cache")
