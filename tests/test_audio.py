@@ -129,3 +129,60 @@ class TestMelFrontend:
         fe = MelFrontend()
         mel = fe(jnp.zeros((1, 18000)))
         np.testing.assert_allclose(np.asarray(mel), 0.0, atol=1e-10)
+
+
+class TestHubertChunker:
+    """The static-shape chunked driver must agree with single-pass encoding
+    (the reference's rollback-chunking algorithm, ddpm_beat_trainer.py:
+    1429-1475, reimplemented with batched fixed-shape chunks)."""
+
+    def _tiny_cfg(self):
+        from diffsheg_tpu.models.hubert import HubertConfig
+        # real conv geometry (stride 320 / rf 400) but tiny widths
+        return HubertConfig(
+            hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+            conv_dim=(16,) * 7,
+            conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+            conv_stride=(5, 2, 2, 2, 2, 2, 2),
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        )
+
+    def test_chunked_equals_single_pass(self):
+        import jax
+        import jax.numpy as jnp
+        from diffsheg_tpu.audio.hubert_runner import (
+            CLIP_SAMPLES, HubertFeatureExtractor, expected_frames)
+        from diffsheg_tpu.models.hubert import normalize_waveform
+
+        cfg = self._tiny_cfg()
+        assert cfg.total_stride == 320 and cfg.receptive_field == 400
+        ex = HubertFeatureExtractor(cfg, rng=jax.random.PRNGKey(0))
+
+        n = CLIP_SAMPLES + 40_000  # 1.125 clips -> two chunks
+        wav = jnp.asarray(np.random.RandomState(0).randn(n) * 0.1,
+                          dtype=jnp.float32)
+        chunked = np.asarray(ex(wav))
+        assert chunked.shape[1] == expected_frames(n)
+
+        single = np.asarray(ex.model.apply(
+            ex.variables, normalize_waveform(wav[None])))
+        T = min(chunked.shape[1], single.shape[1])
+        # Chunks are encoded with independent attention context (the
+        # reference algorithm does the same, ddpm_beat_trainer.py:1454-1460),
+        # so chunked != single-pass exactly; but features must be strongly
+        # consistent: high correlation and most elements near-identical.
+        a, b = chunked[0, :T].ravel(), single[0, :T].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.99, corr
+        close = np.isclose(a, b, atol=1e-2).mean()
+        assert close > 0.75, close
+
+    def test_resample_to_motion_frames(self):
+        import jax
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        ex = HubertFeatureExtractor(self._tiny_cfg(),
+                                    rng=jax.random.PRNGKey(0))
+        wav = np.random.RandomState(1).randn(64_000).astype(np.float32)
+        import jax.numpy as jnp
+        out = ex(jnp.asarray(wav), target_frames=60)  # 4 s @ 15 fps
+        assert out.shape[:2] == (1, 60)
