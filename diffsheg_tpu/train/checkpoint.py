@@ -80,6 +80,16 @@ class CheckpointManager:
         self._mngr.save(step, args=ocp.args.StandardSave({"state": state}))
         self._mngr.wait_until_finished()
         self._write_meta(f"latest_{step}", meta)
+        # drop sidecars for steps orbax has pruned
+        kept = set(self._mngr.all_steps())
+        import glob as _glob
+        for p in _glob.glob(os.path.join(self.root, "latest_*.meta.json")):
+            try:
+                s = int(os.path.basename(p)[len("latest_"):-len(".meta.json")])
+            except ValueError:
+                continue
+            if s not in kept:
+                os.remove(p)
 
     def restore_latest(self, abstract_state: Any
                        ) -> Optional[Tuple[Any, Dict]]:
