@@ -14,7 +14,7 @@ on the MXU.  The whole frontend is one fused jitted function; no host DSP.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import numpy as np

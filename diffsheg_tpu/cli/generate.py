@@ -129,8 +129,6 @@ class CustomAudioPipeline:
                     template_bvh: Optional[str] = None) -> List[str]:
         """De-normalize, convert to euler degrees, write BVH + face JSON
         (reference ddpm_beat_trainer.py:1322-1341)."""
-        import functools
-
         from diffsheg_tpu.geometry.face import write_face_json
         from diffsheg_tpu.geometry.rotations import axis_angle_to_euler
 

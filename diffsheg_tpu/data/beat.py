@@ -30,9 +30,9 @@ from __future__ import annotations
 import dataclasses
 import functools
 import glob
-import json
+
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ step wraps them under jit/grad with the data-parallel mesh.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

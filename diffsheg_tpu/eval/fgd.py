@@ -13,7 +13,7 @@ covariance sqrt runs host-side (D=300).
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ Parsing is line-oriented and tolerant of the BEAT exports' formatting.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

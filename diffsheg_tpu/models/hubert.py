@@ -19,7 +19,7 @@ Architecture (facebook/hubert-large-ls960-ft):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import numpy as np
 import jax

@@ -18,8 +18,8 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
-import numpy as np
+
+
 
 try:
     import orbax.checkpoint as ocp

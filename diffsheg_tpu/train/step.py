@@ -13,7 +13,7 @@ gradient clipping at 0.5 applied before the update
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
