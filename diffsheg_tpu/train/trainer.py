@@ -116,6 +116,8 @@ class Trainer:
                 self.state, terms = step_fn(self.state, batch, rng)
                 self.total_it += 1
                 count += 1
+                if cfg.debug and count >= 1:  # smoke mode: one batch
+                    break
                 if self.total_it % cfg.log_every == 0:
                     vals = {k: float(v) for k, v in terms._asdict().items()}
                     for k, v in vals.items():
