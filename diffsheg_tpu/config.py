@@ -137,6 +137,7 @@ class TrainConfig:
     eval_every_epochs: int = 40
     seed: int = 0
     checkpoints_dir: str = "checkpoints"
+    timestep_sampler: str = "uniform"  # {uniform, loss-second-moment}
     debug: bool = False          # --debug: truncate every loop to one
                                  # iteration (reference base_options.py:33)
 

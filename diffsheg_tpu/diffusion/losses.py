@@ -54,12 +54,18 @@ def diffusion_loss(
     src_mask: Optional[jax.Array] = None,   # (B, T)
     sem_score: Optional[jax.Array] = None,  # (B, T) semantic relevance
     vel_loss_active: bool = True,
+    t_weights: Optional[jax.Array] = None,  # (B,) importance-sampler weights
 ) -> LossTerms:
     B, T, _ = x_start.shape
     mask = jnp.ones((B, T)) if src_mask is None else src_mask
 
-    # epsilon MSE, channel-mean then masked frame-mean
-    eps_mse = masked_time_mean(((model_out - noise) ** 2).mean(-1), mask)
+    # epsilon MSE, channel-mean then masked frame-mean; under the
+    # loss-second-moment sampler each sample carries an importance weight
+    # (guided-diffusion semantics; the uniform sampler's weights are 1)
+    per_frame = ((model_out - noise) ** 2).mean(-1)
+    if t_weights is not None:
+        per_frame = per_frame * t_weights[:, None]
+    eps_mse = masked_time_mean(per_frame, mask)
     eps_term = cfg.eps_weight * eps_mse
 
     pred_x0 = sched.predict_xstart_from_eps(x_t, t, model_out)

@@ -32,6 +32,8 @@ class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # loss-second-moment sampler history (empty tuple when uniform)
+    t_state: Any = ()
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -49,6 +51,10 @@ def create_train_state(cfg: Config, variables: Dict[str, Any],
     tx = make_optimizer(cfg)
     params = variables["params"]
     opt_state = tx.init(params)
+    t_state = ()
+    if cfg.train.timestep_sampler == "loss-second-moment":
+        from diffsheg_tpu.diffusion.timestep_sampler import LossAwareState
+        t_state = LossAwareState.create(cfg.diffusion.num_steps)
     if mesh is not None and len(mesh.axis_names) > 1 \
             and mesh.shape[mesh.axis_names[1]] > 1:
         from diffsheg_tpu.parallel.mesh import shard_params_fsdp
@@ -59,6 +65,7 @@ def create_train_state(cfg: Config, variables: Dict[str, Any],
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=opt_state,
+        t_state=t_state,
     )
 
 
@@ -76,7 +83,9 @@ def make_train_step(
     model = UniDiffuser(cfg.model)
     tx = make_optimizer(cfg)
 
-    def loss_fn(params, batch_stats, batch, t, noise):
+    use_loss_aware = cfg.train.timestep_sampler == "loss-second-moment"
+
+    def loss_fn(params, batch_stats, batch, t, noise, t_weights):
         x_start = batch["motion"]
         x_t = sched.q_sample(x_start, t, noise)
         sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
@@ -89,15 +98,24 @@ def make_train_step(
         terms = diffusion_loss(
             sched, out, x_start, x_t, t, noise, cfg.train,
             sem_score=batch.get("sem"), vel_loss_active=vel_loss_active,
+            t_weights=t_weights if use_loss_aware else None,
         )
-        return terms.total, (terms, mutated["batch_stats"])
+        # per-sample eps loss feeds the sampler's history
+        per_sample = ((out - noise) ** 2).mean(axis=(1, 2))
+        return terms.total, (terms, mutated["batch_stats"], per_sample)
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
                 ) -> Tuple[TrainState, LossTerms]:
         B = batch["motion"].shape[0]
         rng = jax.random.fold_in(rng, state.step)
         rng_t, rng_n = jax.random.split(rng)
-        t = jax.random.randint(rng_t, (B,), 0, sched.num_steps)
+        if use_loss_aware:
+            from diffsheg_tpu.diffusion.timestep_sampler import (
+                sample_loss_aware)
+            t, t_weights = sample_loss_aware(rng_t, B, state.t_state)
+        else:
+            t = jax.random.randint(rng_t, (B,), 0, sched.num_steps)
+            t_weights = jnp.ones((B,))
         noise = jax.random.normal(rng_n, batch["motion"].shape)
 
         if mesh is not None:
@@ -113,15 +131,21 @@ def make_train_step(
                 noise, NamedSharding(mesh, P(mesh.axis_names[0], None, None)))
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (terms, new_bs)), grads = grad_fn(
-            state.params, state.batch_stats, batch, t, noise)
+        (_, (terms, new_bs, per_sample)), grads = grad_fn(
+            state.params, state.batch_stats, batch, t, noise, t_weights)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_t_state = state.t_state
+        if use_loss_aware:
+            from diffsheg_tpu.diffusion.timestep_sampler import (
+                update_loss_history)
+            new_t_state = update_loss_history(state.t_state, t, per_sample)
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_bs,
             opt_state=new_opt,
+            t_state=new_t_state,
         )
         return new_state, terms
 

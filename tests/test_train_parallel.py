@@ -202,3 +202,28 @@ class TestFsdp:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)  # 4x2 mesh path
+
+
+class TestLossAwareTraining:
+    def test_loss_aware_step_runs_and_updates_history(self):
+        cfg = tiny_cfg()
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, timestep_sampler="loss-second-moment"))
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        assert state.t_state.history.shape == (1000, 10)
+        batch = make_batch(cfg, 4, 8)
+        state, terms = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(terms.total))
+        # 4 sampled timesteps recorded
+        assert int(np.asarray(state.t_state.counts).sum()) == 4
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        assert int(np.asarray(state.t_state.counts).sum()) == 8
+
+    def test_uniform_state_is_empty(self):
+        cfg = tiny_cfg()
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        state = create_train_state(cfg, variables)
+        assert state.t_state == ()
