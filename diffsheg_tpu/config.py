@@ -52,8 +52,14 @@ class ModelConfig:
     null_cond_prob: float = 0.2
     cond_scale: float = 1.0
     # ablation switches honoured for parity
+    # branch_mode selects the built model (reference runner.py:32-58 +
+    # --expression_only/--gesture_only/--expCondition_gesture_only):
+    # {'joint','expression_only','gesture_only','exp_condition_gesture'}
+    branch_mode: str = "joint"
     expr_id_off: bool = False    # --ExprID_off: expression branch has no speaker embed
     no_style: bool = False       # --remove_style semantics are handled at input level
+    remove_audio: bool = False   # --remove_audio: zero the mel conditioning
+    remove_style: bool = False   # --remove_style: zero the speaker one-hot
     compute_dtype: str = "float32"  # dtype for matmuls inside the denoiser
 
     @property

@@ -1,0 +1,131 @@
+"""Model factory: joint UniDiffuser or single-branch ablation models.
+
+The reference builds either the joint UniDiffuser or a standalone
+MotionTransformer depending on the ablation flags (reference
+runner.py:32-58 with --expression_only / --gesture_only /
+--expCondition_gesture_only and the per-dataset dim rewiring at
+runner.py:134-145).  Here the same surface is
+``ModelConfig.branch_mode``:
+
+  - 'joint'                  both branches + x0 bridge (the shipped model)
+  - 'expression_only'        face channels only
+  - 'gesture_only'           pose channels only
+  - 'exp_condition_gesture'  pose channels conditioned on ground-truth
+                             expression supplied by the data pipeline
+                             (the reference's expCondition_gesture_only='gt')
+
+Every model exposes the same call signature, so the train step and the
+samplers are mode-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from diffsheg_tpu.config import ModelConfig
+from diffsheg_tpu.models.denoiser import MotionDenoiser
+from diffsheg_tpu.models.unidiffuser import UniDiffuser
+
+
+def denoised_channels(cfg: ModelConfig) -> int:
+    """Channel count the active model denoises (runner.py:134-145)."""
+    mode = getattr(cfg, "branch_mode", "joint")
+    if mode == "expression_only":
+        return cfg.expression_dim
+    if mode in ("gesture_only", "exp_condition_gesture"):
+        return cfg.pose_dim
+    return cfg.motion_dim
+
+
+class SingleBranchDenoiser(nn.Module):
+    """Standalone MotionTransformer equivalent (reference
+    models/transformer.py:349-587 built directly by runner.py:47-57): one
+    branch, mel conditioning projected straight to the audio latent (no
+    audio-encoder layer, audio width = n_mels not 2*n_mels)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        t: jax.Array,
+        sqrt_alphas: Tuple[jax.Array, jax.Array],  # unused (no x0 bridge)
+        audio_mel: jax.Array,
+        person_id: jax.Array,
+        hubert: Optional[jax.Array] = None,
+        exp_cond: Optional[jax.Array] = None,
+        train: bool = False,
+        cfg_inference: bool = False,
+    ) -> jax.Array:
+        c = self.cfg
+        mode = c.branch_mode
+        if mode == "exp_condition_gesture" and exp_cond is None:
+            raise ValueError("exp_condition_gesture needs exp_cond input")
+        use_pid = not (c.expr_id_off and mode == "expression_only")
+        branch = MotionDenoiser(
+            input_feats=denoised_channels(c),
+            audio_dim=c.audio_dim,
+            aud_latent_dim=c.aud_latent_dim,
+            latent_dim=c.latent_dim,
+            ff_size=c.ff_size,
+            num_layers=c.num_layers,
+            num_heads=c.num_heads,
+            style_dim=c.style_dim,
+            pe_type=c.pe_type,
+            max_seq_len=c.max_seq_len,
+            use_pid_embed=use_pid,
+            encode_hubert=c.encode_hubert,
+            hubert_latent_dim=c.hubert_latent_dim,
+            classifier_free=c.classifier_free,
+            null_cond_prob=c.null_cond_prob,
+            cond_scale=c.cond_scale,
+            dtype=jnp.dtype(c.compute_dtype),
+            name="encoder",
+        )
+        return branch(
+            x.astype(jnp.dtype(c.compute_dtype)), t, audio_mel, person_id,
+            hubert=hubert,
+            exp_cond=exp_cond if mode == "exp_condition_gesture" else None,
+            train=train, cfg_inference=cfg_inference,
+        )
+
+
+def ablate_inputs(cfg: ModelConfig, mel: jax.Array, pid: jax.Array):
+    """Input-level ablations (reference --remove_audio / --remove_style
+    zero the respective conditioning)."""
+    if cfg.remove_audio:
+        mel = jnp.zeros_like(mel)
+    if cfg.remove_style or cfg.no_style:
+        pid = jnp.zeros_like(pid)
+    return mel, pid
+
+
+def build_denoiser(cfg: ModelConfig) -> nn.Module:
+    if getattr(cfg, "branch_mode", "joint") == "joint":
+        return UniDiffuser(cfg)
+    return SingleBranchDenoiser(cfg)
+
+
+def init_denoiser(cfg: ModelConfig, n_poses: int, rng: jax.Array,
+                  batch: int = 1):
+    """Initialise (model, variables) for any branch mode."""
+    model = build_denoiser(cfg)
+    C = denoised_channels(cfg)
+    x = jnp.zeros((batch, n_poses, C))
+    t = jnp.zeros((batch,), dtype=jnp.int32)
+    sa = (jnp.ones((batch, 1, 1)), jnp.ones((batch, 1, 1)))
+    mel = jnp.zeros((batch, n_poses, cfg.audio_dim))
+    pid = jnp.zeros((batch, cfg.style_dim))
+    hub = (jnp.zeros((batch, n_poses, cfg.hubert_dim))
+           if cfg.add_hubert else None)
+    kw = {}
+    if cfg.branch_mode == "exp_condition_gesture":
+        kw["exp_cond"] = jnp.zeros((batch, n_poses, cfg.expression_dim))
+    variables = model.init(rng, x, t, sa, mel, pid, hubert=hub, train=False,
+                           **kw)
+    return model, variables

@@ -32,7 +32,9 @@ from diffsheg_tpu.diffusion.schedule import (
     make_schedule,
     _gather,
 )
-from diffsheg_tpu.models.unidiffuser import UniDiffuser
+from diffsheg_tpu.models.factory import (ablate_inputs,
+                                         build_denoiser,
+                                         denoised_channels)
 
 
 class WindowGenerator:
@@ -41,7 +43,7 @@ class WindowGenerator:
     def __init__(self, cfg: Config, variables: Dict[str, Any]):
         self.cfg = cfg
         self.variables = variables
-        self.model = UniDiffuser(cfg.model)
+        self.model = build_denoiser(cfg.model)
 
         d = cfg.diffusion
         base_betas = get_named_beta_schedule(d.beta_schedule, d.num_steps)
@@ -69,6 +71,7 @@ class WindowGenerator:
         repaint_prog = self._plain if stream.no_repaint else self._harmonize
 
         def make_denoise_fn(variables, mel, pid, hubert):
+            mel, pid = ablate_inputs(mcfg, mel, pid)
             def fn(x: jax.Array, t: jax.Array) -> jax.Array:
                 # sqrt-alpha pair at the respaced level, broadcast (B,1,1)
                 # (reference gaussian_diffusion.py:527-532).
@@ -84,7 +87,7 @@ class WindowGenerator:
         def sample_plain(variables, mel, pid, hubert, rng):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
-            noise = jax.random.normal(k, (B, T, mcfg.motion_dim))
+            noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
             x, _ = ddim_sample_program(
                 sched, make_denoise_fn(variables, mel, pid, hubert),
                 self._plain, noise, rng,
@@ -95,7 +98,7 @@ class WindowGenerator:
         def sample_repaint(variables, mel, pid, hubert, gt, prev_tails, rng):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
-            noise = jax.random.normal(k, (B, T, mcfg.motion_dim))
+            noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
             return ddim_sample_program(
                 sched, make_denoise_fn(variables, mel, pid, hubert),
                 repaint_prog, noise, rng,
@@ -130,7 +133,7 @@ class WindowGenerator:
             raise ValueError("model config requires hubert features")
         if gt_head is None:
             return self._jit_plain(self.variables, mel, person_id, hubert, rng)
-        C = self.cfg.model.motion_dim
+        C = denoised_channels(self.cfg.model)
         gt = jnp.zeros((mel.shape[0], mel.shape[1], C), dtype=jnp.float32)
         gt = gt.at[:, : self.cfg.stream.overlap_len].set(gt_head)
         x, tails = self._jit_repaint(

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffsheg_tpu.models.factory import denoised_channels
 from diffsheg_tpu.sampling.generator import WindowGenerator
 
 
@@ -110,7 +111,7 @@ class StreamingGenerator:
             )
             if ii == 0:
                 if cfg.stream.fix_very_first and overlap > 0:
-                    zeros = jnp.zeros((B, overlap, cfg.model.motion_dim))
+                    zeros = jnp.zeros((B, overlap, denoised_channels(cfg.model)))
                     out = self.gen.generate(mel_w, person_id, k, hub_w,
                                             gt_head=zeros)
                 else:
@@ -174,7 +175,7 @@ class StreamingGenerator:
 
     def _build_fused(self, starts, size, step, overlap, T, has_hubert):
         cfg = self.cfg
-        C = cfg.model.motion_dim
+        C = denoised_channels(cfg.model)
         gen = self.gen
         K = len(starts)
         # static layout facts (starts are uniform except a possibly

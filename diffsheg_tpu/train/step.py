@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from diffsheg_tpu.config import Config
 from diffsheg_tpu.diffusion.losses import LossTerms, diffusion_loss
 from diffsheg_tpu.diffusion.schedule import DiffusionSchedule, _gather
-from diffsheg_tpu.models.unidiffuser import UniDiffuser
+from diffsheg_tpu.models.factory import ablate_inputs, build_denoiser
 
 
 class TrainState(NamedTuple):
@@ -80,7 +80,7 @@ def make_train_step(
     Batch dict fields: ``motion`` (B,T,C), ``mel`` (B,T,A), ``pid`` (B,S),
     optional ``hubert`` (B,T,1024), optional ``sem`` (B,T).
     """
-    model = UniDiffuser(cfg.model)
+    model = build_denoiser(cfg.model)
     tx = make_optimizer(cfg)
 
     use_loss_aware = cfg.train.timestep_sampler == "loss-second-moment"
@@ -91,9 +91,14 @@ def make_train_step(
         sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
         srm1 = _gather(sched.sqrt_recipm1_alphas_cumprod, t, 3)
         variables = {"params": params, "batch_stats": batch_stats}
+        mel, pid = ablate_inputs(cfg.model, batch["mel"], batch["pid"])
+        extra = {}
+        if cfg.model.branch_mode == "exp_condition_gesture":
+            extra["exp_cond"] = batch["exp_cond"]
         out, mutated = model.apply(
-            variables, x_t, t, (sr, srm1), batch["mel"], batch["pid"],
+            variables, x_t, t, (sr, srm1), mel, pid,
             hubert=batch.get("hubert"), train=True, mutable=["batch_stats"],
+            **extra,
         )
         terms = diffusion_loss(
             sched, out, x_start, x_t, t, noise, cfg.train,

@@ -31,7 +31,7 @@ import numpy as np
 from diffsheg_tpu.config import Config
 from diffsheg_tpu.data.loader import ShardedBatchLoader
 from diffsheg_tpu.diffusion.schedule import get_named_beta_schedule, make_schedule
-from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+from diffsheg_tpu.models.factory import init_denoiser
 from diffsheg_tpu.parallel.mesh import make_mesh, shard_batch
 from diffsheg_tpu.train.checkpoint import CheckpointManager
 from diffsheg_tpu.train.step import TrainState, create_train_state, make_train_step
@@ -60,7 +60,7 @@ class Trainer:
         self.mesh = make_mesh(cfg.mesh)
         self.logger = logger or MetricLogger(workdir, name=cfg.name)
 
-        self.model, variables = init_unidiffuser(
+        self.model, variables = init_denoiser(
             cfg.model, cfg.data.n_poses, jax.random.PRNGKey(cfg.train.seed))
         self.schedule = make_schedule(get_named_beta_schedule(
             cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
@@ -134,7 +134,17 @@ class Trainer:
                         ) -> Dict[str, np.ndarray]:
         """Dataset dict -> train-step contract {motion, mel, pid, hubert?, sem?}
         (assembly the reference does inline, ddpm_beat_trainer.py:383-441)."""
-        out = {"motion": batch["motion"], "mel": batch["mel"]}
+        mode = self.cfg.model.branch_mode
+        if mode == "expression_only" and "facial" in batch:
+            motion = batch["facial"]
+        elif mode in ("gesture_only", "exp_condition_gesture") \
+                and "pose_axis_angle" in batch:
+            motion = batch["pose_axis_angle"]
+        else:
+            motion = batch["motion"]
+        out = {"motion": motion, "mel": batch["mel"]}
+        if mode == "exp_condition_gesture":
+            out["exp_cond"] = batch["facial"]
         if "pid" in batch:
             out["pid"] = batch["pid"]
         elif "speaker" in batch:

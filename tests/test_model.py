@@ -195,3 +195,93 @@ class TestBatchNorm:
         assert any(
             not np.allclose(np.asarray(a), np.asarray(b))
             for a, b in zip(before, after))
+
+
+class TestBranchModes:
+    """Single-branch ablation models (reference runner.py:32-58 +
+    --expression_only/--gesture_only/--expCondition_gesture_only)."""
+
+    def _cfg(self, **kw):
+        import dataclasses
+        from diffsheg_tpu.config import beat_config
+        base = beat_config().model
+        return dataclasses.replace(
+            base, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            hubert_latent_dim=16, add_hubert=False, **kw)
+
+    def _run(self, cfg, **extra):
+        import jax
+        from diffsheg_tpu.models.factory import (denoised_channels,
+                                                 init_denoiser)
+        model, variables = init_denoiser(cfg, 8, jax.random.PRNGKey(0))
+        B, T = 2, 8
+        C = denoised_channels(cfg)
+        out = model.apply(
+            variables,
+            jnp.ones((B, T, C)) * 0.1,
+            jnp.zeros((B,), dtype=jnp.int32),
+            (jnp.ones((B, 1, 1)), jnp.ones((B, 1, 1))),
+            jnp.ones((B, T, cfg.audio_dim)),
+            jnp.zeros((B, cfg.style_dim)),
+            train=False, **extra)
+        return out, C
+
+    def test_expression_only(self):
+        cfg = self._cfg(branch_mode="expression_only")
+        out, C = self._run(cfg)
+        assert C == cfg.expression_dim
+        assert out.shape == (2, 8, cfg.expression_dim)
+
+    def test_gesture_only(self):
+        cfg = self._cfg(branch_mode="gesture_only")
+        out, C = self._run(cfg)
+        assert out.shape == (2, 8, cfg.pose_dim)
+
+    def test_exp_condition_gesture(self):
+        cfg = self._cfg(branch_mode="exp_condition_gesture")
+        out, _ = self._run(cfg, exp_cond=jnp.ones((2, 8, cfg.expression_dim)))
+        assert out.shape == (2, 8, cfg.pose_dim)
+
+    def test_exp_condition_requires_cond(self):
+        import pytest as _pytest
+        cfg = self._cfg(branch_mode="exp_condition_gesture")
+        with _pytest.raises(ValueError):
+            self._run(cfg)
+
+    def test_remove_audio_zeroes_mel_effect(self):
+        import jax
+        from diffsheg_tpu.models.factory import ablate_inputs
+        cfg = self._cfg(remove_audio=True)
+        mel = jnp.ones((2, 8, cfg.audio_dim))
+        pid = jnp.ones((2, cfg.style_dim))
+        m2, p2 = ablate_inputs(cfg, mel, pid)
+        assert float(jnp.abs(m2).max()) == 0.0
+        assert float(jnp.abs(p2 - pid).max()) == 0.0
+        cfg2 = self._cfg(remove_style=True)
+        m3, p3 = ablate_inputs(cfg2, mel, pid)
+        assert float(jnp.abs(p3).max()) == 0.0
+        assert float(jnp.abs(m3 - mel).max()) == 0.0
+
+    def test_single_branch_trains(self):
+        import dataclasses
+        import jax
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        from diffsheg_tpu.models.factory import init_denoiser
+        from diffsheg_tpu.train.step import (create_train_state,
+                                             make_train_step)
+        cfg = beat_config()
+        cfg = cfg.replace(model=self._cfg(branch_mode="gesture_only"))
+        _, variables = init_denoiser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        batch = {
+            "motion": jnp.ones((4, 8, cfg.model.pose_dim)) * 0.2,
+            "mel": jnp.ones((4, 8, cfg.model.audio_dim)),
+            "pid": jax.nn.one_hot(jnp.arange(4), cfg.model.style_dim),
+            "sem": jnp.ones((4, 8)) * 0.5,
+        }
+        state, terms = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(terms.total))
