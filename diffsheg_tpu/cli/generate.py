@@ -55,9 +55,19 @@ class CustomAudioPipeline:
         self.streamer = StreamingGenerator(self.generator)
         self.motion_mean = motion_mean
         self.motion_std = motion_std
+        from diffsheg_tpu.geometry.rotations import axis_angle_to_euler
+        self._aa_to_euler = jax.jit(lambda x: axis_angle_to_euler(x, "XYZ"))
         self.hubert_extractor = None
         if cfg.model.add_hubert:
+            import sys
             from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+            if hubert_variables is None:
+                print(
+                    "WARNING: model.add_hubert is on but no HuBERT weights "
+                    "were given — speech features come from a RANDOM-INIT "
+                    "encoder. Pass hubert_variables (see "
+                    "compat.hubert_ckpt.load_hf_hubert) or set "
+                    "model.add_hubert=false.", file=sys.stderr)
             self.hubert_extractor = HubertFeatureExtractor(
                 variables=hubert_variables)
 
@@ -130,9 +140,8 @@ class CustomAudioPipeline:
         """De-normalize, convert to euler degrees, write BVH + face JSON
         (reference ddpm_beat_trainer.py:1322-1341)."""
         from diffsheg_tpu.geometry.face import write_face_json
-        from diffsheg_tpu.geometry.rotations import axis_angle_to_euler
 
-        aa_to_euler = jax.jit(lambda x: axis_angle_to_euler(x, "XYZ"))
+        aa_to_euler = self._aa_to_euler
 
         assert self.motion_mean is not None, "need dataset stats for export"
         os.makedirs(out_dir, exist_ok=True)

@@ -95,22 +95,45 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _load_stats(args):
+    """Dataset-appropriate normalization stats (or None)."""
+    if not args.stats_dir:
+        return None
+    if args.dataset == "show":
+        from diffsheg_tpu.data.show import ShowStats
+        path = args.stats_dir
+        if not path.endswith(".npy"):
+            path = os.path.join(path, "talkshow_mean_std.npy")
+        return ShowStats.load(path)
+    from diffsheg_tpu.data.beat import BeatStats
+    return BeatStats.load(args.stats_dir)
+
+
 def cmd_generate(args) -> int:
     import jax
     from diffsheg_tpu.cli.generate import CustomAudioPipeline
-    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
 
     cfg = _base_config(args)
     variables = _load_variables(cfg, args.checkpoint)
-    mean = std = None
-    if args.stats_dir:
-        from diffsheg_tpu.data.beat import BeatStats
-        st = BeatStats.load(args.stats_dir)
-        mean, std = st.motion_mean, st.motion_std
+    stats = _load_stats(args)
+    mean = stats.motion_mean if stats is not None else None
+    std = stats.motion_std if stats is not None else None
+
+    hubert_variables = None
+    if args.hubert_checkpoint and cfg.model.add_hubert:
+        from diffsheg_tpu.compat.hubert_ckpt import load_hf_hubert
+        hubert_variables = load_hf_hubert(args.hubert_checkpoint)
 
     pipe = CustomAudioPipeline(cfg, variables,
+                               hubert_variables=hubert_variables,
                                motion_mean=mean, motion_std=std)
     speakers = [int(s) for s in args.speakers.split(",")]
+    bad = [s for s in speakers if not 0 <= s < cfg.model.style_dim]
+    if bad:
+        raise SystemExit(
+            f"speaker ids {bad} out of range for style_dim="
+            f"{cfg.model.style_dim} ({args.dataset}); pass --speakers "
+            f"in [0, {cfg.model.style_dim - 1}]")
     if args.warmup:
         from diffsheg_tpu.audio.wav import load_wav
         y, sr = load_wav(args.audio)
@@ -124,17 +147,18 @@ def cmd_generate(args) -> int:
         files = pipe.export_beat(res.motion, args.out_dir, name,
                                  template_bvh=args.template_bvh)
     else:
-        files = pipe.export_show(res.motion, args.out_dir, name)
+        files = pipe.export_show(res.motion, args.out_dir, name,
+                                 stats=stats)
     print("\n".join(files))
     return 0
 
 
 def _load_variables(cfg: Config, checkpoint: Optional[str]):
     import jax
-    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+    from diffsheg_tpu.models.factory import init_denoiser
 
-    model, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
-                                        jax.random.PRNGKey(0))
+    model, variables = init_denoiser(cfg.model, cfg.data.n_poses,
+                                     jax.random.PRNGKey(0))
     if not checkpoint:
         print("WARNING: no checkpoint given, using random init",
               file=sys.stderr)
@@ -158,6 +182,31 @@ def cmd_build_cache(args) -> int:
                                         build_beat_cache, compute_beat_stats)
 
     cfg = _base_config(args)
+    if args.dataset == "show":
+        from diffsheg_tpu.data.show_cache import (ShowBuildConfig,
+                                                  build_show_cache,
+                                                  compute_show_stats,
+                                                  iter_npz_dir)
+        import numpy as np
+        split_dir = os.path.join(args.data_root, args.split)
+        sc = ShowBuildConfig(n_poses=cfg.data.n_poses,
+                             stride=cfg.data.stride,
+                             pose_fps=cfg.data.fps, mel_sr=cfg.data.mel_sr,
+                             mel_hop=cfg.data.mel_hop, n_mels=cfg.data.n_mels)
+        if args.stats_dir:
+            os.makedirs(args.stats_dir, exist_ok=True)
+            stats_path = os.path.join(args.stats_dir,
+                                      "talkshow_mean_std.npy")
+            if not os.path.exists(stats_path):
+                print("computing show statistics...")
+                np.save(stats_path,
+                        compute_show_stats(iter_npz_dir(split_dir)))
+        out = args.out or os.path.join(args.data_root,
+                                       f"cache_{args.split}")
+        n = build_show_cache(iter_npz_dir(split_dir), out, sc,
+                             is_test=args.split == "test")
+        print(f"show cache: {n} samples -> {out}")
+        return 0
     bc = BeatBuildConfig(n_poses=cfg.data.n_poses, stride=cfg.data.stride,
                          pose_fps=cfg.data.fps, mel_sr=cfg.data.mel_sr,
                          mel_hop=cfg.data.mel_hop, n_mels=cfg.data.n_mels)
@@ -180,13 +229,11 @@ def cmd_build_cache(args) -> int:
 
 def cmd_eval(args) -> int:
     import jax
-    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
     from diffsheg_tpu.data.loader import ShardedBatchLoader
     from diffsheg_tpu.train.trainer import Trainer
 
     cfg = _base_config(args)
-    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
-    ds = BeatDataset(args.val_cache, stats)
+    ds = _open_dataset(args, cfg, args.val_cache)
     trainer = Trainer(cfg, args.workdir or "/tmp/diffsheg_eval")
     if args.checkpoint:
         variables = _load_variables(cfg, args.checkpoint)
@@ -203,12 +250,10 @@ def cmd_eval(args) -> int:
 def cmd_test_stream(args) -> int:
     """test_arbitrary_len equivalent (reference ddpm_beat_trainer.py:849)."""
     import jax
-    from diffsheg_tpu.data.beat import BeatDataset, BeatStats
     from diffsheg_tpu.sampling.testset import generate_testset
 
     cfg = _base_config(args)
-    stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
-    ds = BeatDataset(args.test_cache, stats)
+    ds = _open_dataset(args, cfg, args.test_cache)
     variables = _load_variables(cfg, args.checkpoint)
     metrics = generate_testset(cfg, variables, ds, args.out_dir,
                                jax.random.PRNGKey(args.seed),
@@ -253,6 +298,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--template-bvh")
     sp.add_argument("--warmup", action="store_true",
                     help="compile first so the reported RTF is steady-state")
+    sp.add_argument("--hubert-checkpoint",
+                    help="HF HuBERT model dir/name for speech features "
+                         "(required for faithful output when "
+                         "model.add_hubert is on)")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("build-cache", help="build a dataset cache")

@@ -93,21 +93,44 @@ class ShardedBatchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
             try:
                 for rows in batches:
-                    q.put(self._make(rows))
+                    item = self._make(rows)
+                    # bounded put that notices an abandoned consumer
+                    while not abandoned.is_set():
+                        try:
+                            q.put(item, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             finally:
-                q.put(stop)
+                try:
+                    q.put_nowait(stop)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            # consumer stopped early (debug mode, max_batches): release the
+            # worker instead of leaking a thread blocked on q.put
+            abandoned.set()
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def _make(self, global_rows: np.ndarray) -> Dict[str, np.ndarray]:
         b = self.dataset.batch(self._local_indices(global_rows))

@@ -29,11 +29,16 @@ class LossTerms(NamedTuple):
     x0_huber: jax.Array
 
 
-def huber(pred: jax.Array, target: jax.Array, beta: float) -> jax.Array:
+def huber(pred: jax.Array, target: jax.Array, beta: float,
+          sample_weights: Optional[jax.Array] = None) -> jax.Array:
     """smooth_l1(pred/beta, target/beta) * beta, mean reduction
-    (reference trainers/loss_factory.py:19-27)."""
+    (reference trainers/loss_factory.py:19-27); optional per-sample
+    importance weights along the batch axis."""
     d = jnp.abs(pred - target) / beta
     per_elem = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5) * beta
+    if sample_weights is not None:
+        per_elem = per_elem * sample_weights.reshape(
+            (-1,) + (1,) * (per_elem.ndim - 1))
     return per_elem.mean()
 
 
@@ -70,18 +75,24 @@ def diffusion_loss(
 
     pred_x0 = sched.predict_xstart_from_eps(x_t, t, model_out)
 
-    # velocity of x0 (frame differences), masked over T-1 frames
+    # velocity of x0 (frame differences), masked over T-1 frames; the
+    # importance weights apply to every term (guided-diffusion weights the
+    # whole per-sample loss)
     vel_target = x_start[:, :-1] - x_start[:, 1:]
     vel_pred = pred_x0[:, :-1] - pred_x0[:, 1:]
-    vel_mse = masked_time_mean(((vel_pred - vel_target) ** 2).mean(-1),
-                               mask[:, :-1])
+    vel_frames = ((vel_pred - vel_target) ** 2).mean(-1)
+    if t_weights is not None:
+        vel_frames = vel_frames * t_weights[:, None]
+    vel_mse = masked_time_mean(vel_frames, mask[:, :-1])
 
     # x0 huber, semantically weighted on BEAT (ddpm_beat_trainer.py:250-253)
     if cfg.use_sem_weighting and sem_score is not None:
         w = sem_score[..., None] + 1.0
-        x0_h = huber(pred_x0 * w, x_start * w, cfg.huber_beta)
+        x0_h = huber(pred_x0 * w, x_start * w, cfg.huber_beta,
+                     sample_weights=t_weights)
     else:
-        x0_h = huber(pred_x0, x_start, cfg.huber_beta)
+        x0_h = huber(pred_x0, x_start, cfg.huber_beta,
+                     sample_weights=t_weights)
 
     if vel_loss_active:
         total = eps_term + cfg.vel_weight * vel_mse + cfg.x0_weight * x0_h

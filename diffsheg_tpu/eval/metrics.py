@@ -105,6 +105,21 @@ def mse_pck(outputs: np.ndarray, targets: np.ndarray,
     return float(diff_sq.mean()), float((dist < pck_threshold).mean())
 
 
+def mse_pck_channels(outputs: np.ndarray, targets: np.ndarray,
+                     pck_threshold: float = 0.5) -> Tuple[float, float]:
+    """(B, T, C) channel tensors: groups consecutive channel triplets as
+    joints when C divides by 3; otherwise scores PCK per channel (needed for
+    SHOW's 232-d motion, which mixes axis-angle with expression PCs)."""
+    C = outputs.shape[-1]
+    if C % 3 == 0:
+        sh = outputs.shape[:-1] + (C // 3, 3)
+        return mse_pck(outputs.reshape(sh), targets.reshape(sh),
+                       pck_threshold)
+    diff_sq = (outputs - targets) ** 2
+    return (float(diff_sq.mean()),
+            float((np.abs(outputs - targets) < pck_threshold).mean()))
+
+
 def diversity(outputs: np.ndarray, batch: int = 50) -> float:
     """Mean absolute difference over all ordered pairs inside groups of
     ``batch`` samples (Ye et al. ECCV'22 protocol; reference

@@ -49,10 +49,10 @@ def face_frames_dict(weights: np.ndarray, fps: float,
                      names: Optional[List[str]] = None) -> Dict:
     """Build the exporter dict (reference ddpm_beat_trainer.py:1372-1383)."""
     names = names or ARKIT_FACIAL_51
+    w2 = np.asarray(weights, dtype=np.float64).reshape(-1, np.shape(weights)[-1])
     frames = [
-        {"weights": np.asarray(w, dtype=np.float64).tolist(),
-         "time": j / fps, "rotation": []}
-        for j, w in enumerate(np.squeeze(weights))
+        {"weights": w.tolist(), "time": j / fps, "rotation": []}
+        for j, w in enumerate(w2)
     ]
     return {"names": names, "frames": frames}
 
@@ -62,7 +62,8 @@ def write_face_json(weights: np.ndarray, out_path: str, fps: float = 15.0,
                     std: Optional[np.ndarray] = None,
                     names: Optional[List[str]] = None) -> None:
     """De-normalize (if stats given) and write the face JSON."""
-    w = np.squeeze(np.asarray(weights))
+    w = np.asarray(weights)
+    w = w.reshape(-1, w.shape[-1])
     if mean is not None:
         w = w * std + mean
     with open(out_path, "w") as f:

@@ -99,8 +99,9 @@ def parse_float_text(text: bytes) -> Tuple[np.ndarray, int]:
         rows = [r.split() for r in text.decode().splitlines() if r.strip()]
         flat = np.asarray([float(v) for r in rows for v in r])
         return flat, len(rows)
-    # Upper bound on value count: one value per 2 bytes is conservative.
-    max_vals = max(16, len(text) // 2)
+    # Upper bound on value count: N single-char values need 2N-1 bytes,
+    # so (len+1)//2 + 1 can never truncate.
+    max_vals = max(16, (len(text) + 1) // 2 + 1)
     out = np.empty(max_vals, dtype=np.float64)
     n_rows = ctypes.c_int64(0)
     n = lib.dt_parse_floats(text, len(text),

@@ -33,7 +33,8 @@ def generate_testset(
     log=print,
 ) -> Dict[str, float]:
     """Run streaming generation over every test clip; returns metrics."""
-    from diffsheg_tpu.eval.metrics import frechet_from_activations, mse_pck
+    from diffsheg_tpu.eval.metrics import (frechet_from_activations,
+                                           mse_pck_channels)
     from diffsheg_tpu.sampling.generator import WindowGenerator
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
 
@@ -77,8 +78,7 @@ def generate_testset(
 
         # windowed metrics over the common length
         C = out.shape[-1]
-        m, p = mse_pck(out[:T].reshape(1, T, C // 3, 3),
-                       gt[:T].reshape(1, T, C // 3, 3))
+        m, p = mse_pck_channels(out[None, :T], gt[None, :T])
         mses.append(m); pcks.append(p)
         if fgd_embed is not None:
             W = cfg.data.n_poses

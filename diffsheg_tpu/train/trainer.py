@@ -156,7 +156,16 @@ class Trainer:
         if "hubert" in batch:
             out["hubert"] = batch["hubert"]
         elif self.cfg.model.add_hubert:
-            # no cached features: zero conditioning keeps shapes static
+            # no cached features: zero conditioning keeps shapes static —
+            # but warn once, because the model then learns to ignore its
+            # speech pathway (pass a hubert cache or set add_hubert=false)
+            if not getattr(self, "_warned_zero_hubert", False):
+                self._warned_zero_hubert = True
+                self.logger.log_text(
+                    "WARNING: model.add_hubert is on but the dataset "
+                    "provides no 'hubert' features; training with ZERO "
+                    "speech conditioning. Provide --hubert-cache or set "
+                    "model.add_hubert=false.")
             B, T = batch["motion"].shape[:2]
             out["hubert"] = np.zeros((B, T, self.cfg.model.hubert_dim),
                                      dtype=np.float32)
@@ -183,7 +192,8 @@ class Trainer:
         """DDIM sampling + FGD/MSE/PCK/diversity on the val split
         (reference ddpm_beat_trainer.py:486-642)."""
         from diffsheg_tpu.eval.metrics import diversity as div_fn
-        from diffsheg_tpu.eval.metrics import frechet_from_activations, mse_pck
+        from diffsheg_tpu.eval.metrics import (frechet_from_activations,
+                                               mse_pck_channels)
 
         gen = self._get_generator()
         mses, pcks, divs = [], [], []
@@ -205,10 +215,8 @@ class Trainer:
                                k, hubert=jnp.asarray(mb["hubert"])
                                if "hubert" in mb else None)
             out_np = np.asarray(out)
-            tgt = mb["motion"]
-            B, T, C = out_np.shape
-            m, p = mse_pck(out_np.reshape(B, T, C // 3, 3),
-                           tgt.reshape(B, T, C // 3, 3))
+            tgt = np.asarray(mb["motion"])
+            m, p = mse_pck_channels(out_np, tgt)
             mses.append(m); pcks.append(p)
             divs.append(div_fn(out_np))
             if fgd_embed is not None:

@@ -361,3 +361,19 @@ class TestBeatPreprocess:
         cat = np.concatenate(all_rows)
         np.testing.assert_allclose(st["mean"], cat.mean(0), atol=1e-6)
         np.testing.assert_allclose(st["std"], cat.std(0), atol=1e-6)
+
+
+class TestLoaderEarlyExit:
+    def test_abandoned_iterator_releases_worker(self):
+        import threading
+        ds = _CountingDs(64)
+        ld = ShardedBatchLoader(ds, global_batch_size=4, prefetch=2)
+        before = threading.active_count()
+        for _ in range(3):
+            it = iter(ld)
+            next(it)
+            it.close()  # abandon mid-epoch
+        import time
+        time.sleep(1.0)  # workers notice abandonment within 0.25s
+        after = threading.active_count()
+        assert after <= before + 1, (before, after)

@@ -126,3 +126,20 @@ class TestTemporalFilter:
         x = jnp.ones((1, 20, 3)) * 7.0
         out = motion_temporal_filter(x, sigma=1.5)
         np.testing.assert_allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+class TestChannelMetrics:
+    def test_divisible_matches_joint_form(self):
+        rng = np.random.RandomState(0)
+        a, b = rng.randn(2, 4, 6), rng.randn(2, 4, 6)
+        m1, p1 = M.mse_pck_channels(a, b)
+        m2, p2 = M.mse_pck(a.reshape(2, 4, 2, 3), b.reshape(2, 4, 2, 3))
+        assert m1 == m2 and p1 == p2
+
+    def test_non_divisible_channels(self):
+        # SHOW motion_dim=232 is not divisible by 3: must not crash
+        rng = np.random.RandomState(1)
+        a = rng.randn(2, 4, 232) * 0.01
+        b = np.zeros((2, 4, 232))
+        m, p = M.mse_pck_channels(a, b)
+        assert np.isfinite(m) and 0.9 < p <= 1.0

@@ -263,3 +263,16 @@ class TestFaceJson:
         assert len(ARKIT_FACIAL_51) == 51
         assert ARKIT_FACIAL_51[0] == "browDownLeft"
         assert ARKIT_FACIAL_51[-1] == "noseSneerRight"
+
+
+class TestFaceJsonSingleFrame:
+    def test_single_frame_roundtrip(self, tmp_path):
+        """T=1 must stay one 51-weight frame (regression: squeeze collapsed
+        (1,51) into 51 scalar frames)."""
+        from diffsheg_tpu.geometry import face as face_mod
+        w = np.random.RandomState(0).rand(1, 51)
+        p = str(tmp_path / "one.json")
+        face_mod.write_face_json(w, p, fps=15.0)
+        back = face_mod.read_face_json(p)
+        assert back.shape == (1, 51)
+        np.testing.assert_allclose(back, w)

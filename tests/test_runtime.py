@@ -43,3 +43,12 @@ def test_parse_empty(tmp_path):
     p.write_text("")
     got = runtime.parse_frames_file(str(p))
     assert got.size == 0
+
+
+def test_parse_dense_single_char_values():
+    """Maximally dense input must not truncate (regression: max_vals bound)."""
+    text = b" ".join(b"7" for _ in range(17))
+    flat, rows = runtime.parse_float_text(text)
+    assert len(flat) == 17
+    assert rows == 1
+    np.testing.assert_allclose(flat, 7.0)
