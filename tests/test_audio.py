@@ -186,3 +186,45 @@ class TestHubertChunker:
         import jax.numpy as jnp
         out = ex(jnp.asarray(wav), target_frames=60)  # 4 s @ 15 fps
         assert out.shape[:2] == (1, 60)
+
+
+class TestOnsets:
+    def test_click_track_onsets(self):
+        """Clicks at known times must be detected within one hop."""
+        from diffsheg_tpu.audio.onsets import audio_onset_times
+        sr = 16000
+        secs = 4.0
+        y = np.zeros(int(sr * secs), dtype=np.float32)
+        clicks = [0.5, 1.25, 2.0, 2.75, 3.5]
+        for c in clicks:
+            i = int(c * sr)
+            t = np.arange(400)
+            y[i:i + 400] += (np.sin(2 * np.pi * 1000 * t / sr)
+                             * np.exp(-t / 80)).astype(np.float32)
+        onsets = audio_onset_times(y, sr)
+        assert len(onsets) >= len(clicks)
+        for c in clicks:
+            assert np.min(np.abs(onsets - c)) < 0.05, (c, onsets)
+
+    def test_silence_no_onsets(self):
+        from diffsheg_tpu.audio.onsets import audio_onset_times
+        onsets = audio_onset_times(np.zeros(16000, dtype=np.float32), 16000)
+        assert len(onsets) <= 1  # at most the trivial first frame
+
+    def test_feeds_beat_alignment(self):
+        from diffsheg_tpu.audio.onsets import audio_onset_times
+        from diffsheg_tpu.eval.metrics import beat_alignment
+        sr, fps = 16000, 15.0
+        y = np.zeros(sr * 4, dtype=np.float32)
+        for c in (1.0, 2.0, 3.0):
+            i = int(c * sr)
+            y[i:i + 200] = 0.8
+        beats = audio_onset_times(y, sr)
+        # motion with velocity dips at the same times
+        T = int(4 * fps)
+        vel = np.ones(T)
+        for c in (1.0, 2.0, 3.0):
+            vel[int(c * fps)] = 0.0
+        motion = np.cumsum(vel)[:, None].repeat(3, axis=1)
+        score = beat_alignment(motion, beats, fps)
+        assert score > 0.5
