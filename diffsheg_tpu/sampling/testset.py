@@ -48,7 +48,7 @@ def generate_testset(
             n_frames=cfg.data.n_poses, pose_dim=cfg.model.motion_dim))
         fgd_embed = jax.jit(lambda x: net.apply(fgd_variables, x))
 
-    mses, pcks = [], []
+    mses, pcks, aligns = [], [], []
     gen_lat, real_lat = [], []
     total_frames = 0
     t_start = time.perf_counter()
@@ -80,6 +80,13 @@ def generate_testset(
         C = out.shape[-1]
         m, p = mse_pck_channels(out[None, :T], gt[None, :T])
         mses.append(m); pcks.append(p)
+        if "audio" in s:
+            from diffsheg_tpu.audio.onsets import audio_onset_times
+            from diffsheg_tpu.eval.metrics import beat_alignment
+            beats = audio_onset_times(
+                np.asarray(s["audio"], dtype=np.float32), cfg.data.audio_sr)
+            pose_ch = out[:T, :cfg.model.pose_dim]
+            aligns.append(beat_alignment(pose_ch, beats, cfg.data.fps))
         if fgd_embed is not None:
             W = cfg.data.n_poses
             nwin = T // W
@@ -95,6 +102,7 @@ def generate_testset(
     metrics = {
         "mse": float(np.mean(mses)) if mses else float("nan"),
         "pck": float(np.mean(pcks)) if pcks else float("nan"),
+        "beat_align": float(np.mean(aligns)) if aligns else float("nan"),
         "fps": total_frames / max(wall, 1e-9),
         "clips": float(len(mses)),
     }
