@@ -90,6 +90,9 @@ class DiffusionConfig:
     jump_length: int = 3
     jump_n_sample: int = 5
     no_resample: bool = False
+    scan_unroll: int = 1   # lax.scan unroll factor for the sampler loop
+                           # (>1 trades compile time for fewer loop-carried
+                           # dispatch boundaries)
 
 
 @dataclass(frozen=True)

@@ -133,6 +133,7 @@ def ddim_sample_program(
     repaint: Optional[RepaintSpec] = None,
     gt: Optional[jax.Array] = None,
     prev_saved_tails: Optional[jax.Array] = None,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full reverse program and return ``(sample, saved_tails)``.
 
@@ -185,7 +186,8 @@ def ddim_sample_program(
         return SampleState(x, key, tails), None
 
     init = SampleState(noise, rng, tails0)
-    final, _ = jax.lax.scan(step, init, (program.t, program.denoise))
+    final, _ = jax.lax.scan(step, init, (program.t, program.denoise),
+                            unroll=unroll)
     return final.x, final.saved_tails
 
 

@@ -92,6 +92,7 @@ class WindowGenerator:
                 sched, make_denoise_fn(variables, mel, pid, hubert),
                 self._plain, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=False,
+                unroll=diff.scan_unroll,
             )
             return x
 
@@ -104,6 +105,7 @@ class WindowGenerator:
                 repaint_prog, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=False,
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
+                unroll=diff.scan_unroll,
             )
 
         self._jit_plain = jax.jit(sample_plain)
