@@ -81,7 +81,12 @@ def convert_hubert_state_dict(sd: Mapping[str, Any],
         base = f"feature_extractor.conv_layers.{i}"
         fe[f"conv_{i}"] = _conv(sd, f"{base}.conv",
                                 bias=f"{base}.conv.bias" in sd)
-        fe[f"ln_{i}"] = _ln(sd, f"{base}.layer_norm")
+        if cfg.conv_norm == "group_first":
+            if i == 0:  # GroupNorm affine params (wav2vec2 'group' mode)
+                fe["gn_scale"] = _t(sd[f"{base}.layer_norm.weight"])
+                fe["gn_bias"] = _t(sd[f"{base}.layer_norm.bias"])
+        else:
+            fe[f"ln_{i}"] = _ln(sd, f"{base}.layer_norm")
     p["feature_extractor"] = fe
 
     p["feat_proj_ln"] = _ln(sd, "feature_projection.layer_norm")
@@ -95,6 +100,8 @@ def convert_hubert_state_dict(sd: Mapping[str, Any],
 
     for i in range(cfg.num_layers):
         base = f"encoder.layers.{i}"
+        # pre-LN (stable) and post-LN share key names: 'layer_norm' is the
+        # attention-side norm, 'final_layer_norm' the ffn-side norm
         p[f"layer_{i}"] = {
             "attn_ln": _ln(sd, f"{base}.layer_norm"),
             "attn": {

@@ -47,6 +47,12 @@ class ModelConfig:
     encode_hubert: bool = True
     hubert_dim: int = 1024
     hubert_latent_dim: int = 128
+    # speech-feature encoder inside the denoiser (transformer.py:436-444):
+    # 'conv' = Conv+BN+GELU+Conv 1024->128 (hubert, --encode_hubert);
+    # 'linear' = Dense hubert_dim->hubert_latent_dim (--encode_wav2vec2,
+    #            set hubert_dim=768, hubert_latent_dim=256 for wav2vec2);
+    # 'raw' = concatenate features unencoded
+    speech_encoder: str = "conv"
     # classifier-free guidance (base_options.py:106-108)
     classifier_free: bool = False
     null_cond_prob: float = 0.2

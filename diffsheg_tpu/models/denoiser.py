@@ -87,6 +87,7 @@ class MotionDenoiser(nn.Module):
     use_pid_embed: bool = True     # False when ExprID_off on the expression branch
     encode_hubert: bool = True
     hubert_latent_dim: int = 128
+    speech_encoder: str = "conv"   # {'conv','linear','raw'}
     classifier_free: bool = False
     null_cond_prob: float = 0.2
     cond_scale: float = 1.0
@@ -124,10 +125,16 @@ class MotionDenoiser(nn.Module):
         # --- encode extra conditions ------------------------------------
         cond_parts = []
         if hubert is not None:
-            if self.encode_hubert:
+            mode = self.speech_encoder if self.encode_hubert else "raw"
+            if mode == "conv":
                 hubert = HubertConvEncoder(
                     self.hubert_latent_dim, dtype=compute, name="hubert_encoder"
                 )(hubert.astype(compute), train=train)
+            elif mode == "linear":
+                # wav2vec2 path (transformer.py:444: Linear(768, 256))
+                hubert = nn.Dense(self.hubert_latent_dim, dtype=compute,
+                                  name="hubert_encoder")(
+                    hubert.astype(compute))
             cond_parts.append(hubert)
         if exp_cond is not None:
             cond_parts.append(exp_cond.astype(compute))

@@ -81,6 +81,7 @@ class SingleBranchDenoiser(nn.Module):
             use_pid_embed=use_pid,
             encode_hubert=c.encode_hubert,
             hubert_latent_dim=c.hubert_latent_dim,
+            speech_encoder=c.speech_encoder,
             classifier_free=c.classifier_free,
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,

@@ -40,6 +40,12 @@ class HubertConfig:
     conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
+    # architecture family switches (wav2vec2-base uses group-norm on the
+    # first conv layer only and post-LN transformer layers)
+    conv_norm: str = "layer"        # {"layer", "group_first"}
+    conv_bias: bool = True          # wav2vec2-base convs are bias-free
+    stable_layer_norm: bool = True  # True: pre-LN (hubert-large); False:
+                                    # post-LN (wav2vec2-base)
     dtype: str = "float32"
 
     @property
@@ -60,8 +66,19 @@ def hubert_large_config() -> HubertConfig:
     return HubertConfig()
 
 
+def wav2vec2_base_config() -> HubertConfig:
+    """facebook/wav2vec2-base-960h geometry: 768-d, 12 post-LN layers,
+    group-norm first conv layer."""
+    return HubertConfig(
+        hidden_size=768, num_layers=12, num_heads=12,
+        intermediate_size=3072, conv_norm="group_first",
+        stable_layer_norm=False, conv_bias=False,
+    )
+
+
 class ConvFeatureExtractor(nn.Module):
-    """Strided conv stack with per-layer LayerNorm + GELU."""
+    """Strided conv stack: per-layer LayerNorm (hubert "layer" mode) or
+    first-layer GroupNorm only (wav2vec2 "group_first" mode)."""
 
     cfg: HubertConfig
 
@@ -69,12 +86,25 @@ class ConvFeatureExtractor(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, N) -> (B, T, C)
         dtype = jnp.dtype(self.cfg.dtype)
         h = x[..., None].astype(dtype)  # (B, N, 1)
+        group_first = self.cfg.conv_norm == "group_first"
         for i, (c, k, s) in enumerate(zip(self.cfg.conv_dim,
                                           self.cfg.conv_kernel,
                                           self.cfg.conv_stride)):
-            h = nn.Conv(c, (k,), strides=(s,), padding="VALID", use_bias=True,
+            h = nn.Conv(c, (k,), strides=(s,), padding="VALID",
+                        use_bias=self.cfg.conv_bias,
                         dtype=dtype, name=f"conv_{i}")(h)
-            h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name=f"ln_{i}")(h)
+            if group_first:
+                if i == 0:
+                    # torch GroupNorm(num_groups=C, num_channels=C) on
+                    # (B, C, T): each channel normalized over time
+                    mean = h.mean(axis=-2, keepdims=True)
+                    var = h.var(axis=-2, keepdims=True)
+                    h = (h - mean) * jax.lax.rsqrt(var + LN_EPS)
+                    h = h * self.param(
+                        "gn_scale", nn.initializers.ones, (c,))                         + self.param("gn_bias", nn.initializers.zeros, (c,))
+            else:
+                h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype,
+                                 name=f"ln_{i}")(h)
             h = jax.nn.gelu(h, approximate=False)
         return h
 
@@ -126,7 +156,8 @@ class HubertSelfAttention(nn.Module):
 
 
 class HubertEncoderLayer(nn.Module):
-    """Pre-LN transformer layer (do_stable_layer_norm=True)."""
+    """Transformer layer: pre-LN (do_stable_layer_norm=True, hubert-large)
+    or post-LN (wav2vec2-base)."""
 
     cfg: HubertConfig
 
@@ -134,13 +165,21 @@ class HubertEncoderLayer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="attn_ln")(x)
-        x = x + HubertSelfAttention(c, name="attn")(h)
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="ffn_ln")(x)
-        h = nn.Dense(c.intermediate_size, dtype=dtype, name="fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(c.hidden_size, dtype=dtype, name="fc2")(h)
-        return x + h
+
+        def ffn(h):
+            h = nn.Dense(c.intermediate_size, dtype=dtype, name="fc1")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            return nn.Dense(c.hidden_size, dtype=dtype, name="fc2")(h)
+
+        if c.stable_layer_norm:
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="attn_ln")(x)
+            x = x + HubertSelfAttention(c, name="attn")(h)
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="ffn_ln")(x)
+            return x + ffn(h)
+        x = x + HubertSelfAttention(c, name="attn")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="attn_ln")(x)
+        x = x + ffn(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="ffn_ln")(x)
 
 
 class HubertModel(nn.Module):
@@ -156,9 +195,13 @@ class HubertModel(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="feat_proj_ln")(h)
         h = nn.Dense(c.hidden_size, dtype=dtype, name="feat_proj")(h)
         h = h + PosConvEmbed(c, name="pos_conv")(h)
+        if not c.stable_layer_norm:
+            # wav2vec2: LN after the positional conv, none at the end
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="final_ln")(h)
         for i in range(c.num_layers):
             h = HubertEncoderLayer(c, name=f"layer_{i}")(h)
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="final_ln")(h)
+        if c.stable_layer_norm:
+            h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="final_ln")(h)
         return h
 
 

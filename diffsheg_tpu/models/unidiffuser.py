@@ -77,6 +77,7 @@ class UniDiffuser(nn.Module):
             max_seq_len=c.max_seq_len,
             encode_hubert=c.encode_hubert,
             hubert_latent_dim=c.hubert_latent_dim,
+            speech_encoder=c.speech_encoder,
             classifier_free=c.classifier_free,
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,

@@ -285,3 +285,27 @@ class TestBranchModes:
         }
         state, terms = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(terms.total))
+
+
+class TestSpeechEncoderModes:
+    def test_linear_and_raw_modes(self):
+        import dataclasses
+        import jax
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.models.factory import init_denoiser
+        for mode, hd, hl in (("linear", 768, 256), ("raw", 64, 64)):
+            cfg = dataclasses.replace(
+                beat_config().model, latent_dim=32, num_layers=1,
+                num_heads=2, ff_size=64, hubert_dim=hd, hubert_latent_dim=hl,
+                speech_encoder=mode,
+                encode_hubert=mode != "raw")
+            model, variables = init_denoiser(cfg, 8, jax.random.PRNGKey(0))
+            B, T = 2, 8
+            out = model.apply(
+                variables, jnp.zeros((B, T, cfg.motion_dim)),
+                jnp.zeros((B,), dtype=jnp.int32),
+                (jnp.ones((B, 1, 1)), jnp.ones((B, 1, 1))),
+                jnp.zeros((B, T, cfg.audio_dim)),
+                jnp.zeros((B, cfg.style_dim)),
+                hubert=jnp.zeros((B, T, hd)), train=False)
+            assert out.shape == (B, T, cfg.motion_dim), mode
