@@ -92,6 +92,9 @@ class DiffusionConfig:
     mean_type: str = "epsilon"           # {'epsilon','start_x','previous_x'}
     var_type: str = "fixed_small"        # {'fixed_small','fixed_large'}
     respacing: str = "ddim25"            # '' = no respacing; 'ddimN' or 'a,b,c'
+    clip_denoised: bool = False          # clamp x0 predictions to [-1,1]
+                                         # (reference samples with False,
+                                         # ddpm_beat_trainer.py:194)
     # RePaint resampling knobs (base_options.py:127-128)
     jump_length: int = 3
     jump_n_sample: int = 5

@@ -91,7 +91,7 @@ class WindowGenerator:
             x, _ = ddim_sample_program(
                 sched, make_denoise_fn(variables, mel, pid, hubert),
                 self._plain, noise, rng,
-                mean_type=diff.mean_type, clip_denoised=False,
+                mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 unroll=diff.scan_unroll,
             )
             return x
@@ -103,7 +103,7 @@ class WindowGenerator:
             return ddim_sample_program(
                 sched, make_denoise_fn(variables, mel, pid, hubert),
                 repaint_prog, noise, rng,
-                mean_type=diff.mean_type, clip_denoised=False,
+                mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
                 unroll=diff.scan_unroll,
             )
