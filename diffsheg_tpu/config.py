@@ -156,6 +156,11 @@ class TrainConfig:
     seed: int = 0
     checkpoints_dir: str = "checkpoints"
     timestep_sampler: str = "uniform"  # {uniform, loss-second-moment}
+    debug_nans: bool = False     # NaN tripwire (the reference enables
+                                 # torch.autograd.set_detect_anomaly
+                                 # unconditionally, runner.py:112; here it
+                                 # is opt-in because jax_debug_nans disables
+                                 # async dispatch)
     debug: bool = False          # --debug: truncate every loop to one
                                  # iteration (reference base_options.py:33)
 

@@ -57,6 +57,8 @@ class Trainer:
                  logger: Optional[MetricLogger] = None):
         self.cfg = cfg
         self.workdir = workdir
+        if cfg.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.mesh = make_mesh(cfg.mesh)
         self.logger = logger or MetricLogger(workdir, name=cfg.name)
 
