@@ -61,7 +61,7 @@ def main():
     run(jax.random.PRNGKey(0))[0].block_until_ready()
 
     times = []
-    for i in range(3):
+    for i in range(6):
         t0 = time.perf_counter()
         out = run(jax.random.PRNGKey(i + 1))
         out.block_until_ready()
