@@ -1,15 +1,19 @@
 """End-to-end generation throughput benchmark (BEAT configuration).
 
 Reproduces the reference RTF measurement method — generated frames divided by
-total pipeline time (mel frontend + speech features + sampler), per
+total pipeline time (mel frontend + HuBERT speech features + sampler), per
 trainers/ddpm_beat_trainer.py:1243-1315 — on one TPU chip, using the
 fast-inference configuration from inference_custom_audio_beat.sh:15-28
 (DDIM-25, overlap 4, jump_n_sample 2), whose A100 baseline is 55 FPS.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+All three stages the baseline pays are timed here: mel (18 kHz, hop 1200,
+128 bins), HuBERT-large inference over the chunked 16 kHz waveform
+(random-init weights — throughput only), and the fused windowed DDIM+RePaint
+sampler.  Per-stage seconds go to stderr; stdout is ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -22,8 +26,9 @@ BASELINE_FPS = 55.0  # A100, inference_custom_audio_beat.sh:15
 def main():
     import dataclasses
 
+    from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
     from diffsheg_tpu.audio.mel import MelFrontend
-    from diffsheg_tpu.config import beat_config, DiffusionConfig
+    from diffsheg_tpu.config import beat_config
     from diffsheg_tpu.models.unidiffuser import init_unidiffuser
     from diffsheg_tpu.sampling.generator import WindowGenerator
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
@@ -38,36 +43,62 @@ def main():
     stream = StreamingGenerator(gen)
     frontend = MelFrontend(sr=cfg.data.mel_sr, hop=cfg.data.mel_hop,
                            n_mels=cfg.data.n_mels)
+    hubert_fe = HubertFeatureExtractor()  # hubert-large, random init
 
-    # 60 s of synthetic speech-band audio at 18 kHz -> 900 frames @ 15 fps
+    # 60 s of synthetic speech-band audio -> 900 frames @ 15 fps.  The
+    # reference pipeline reads the 16 kHz waveform for HuBERT and resamples
+    # to 18 kHz for mel (ddpm_beat_trainer.py:1236-1265); synthesize both
+    # rates from one analytic signal.
     secs = 60
-    sr = cfg.data.mel_sr
-    rng = np.random.RandomState(0)
-    t = np.arange(secs * sr) / sr
-    audio = (0.3 * np.sin(2 * np.pi * 220 * t)
-             + 0.1 * rng.randn(secs * sr)).astype(np.float32)[None]
-    audio_j = jnp.asarray(audio)
+
+    def synth(sr):
+        t = np.arange(secs * sr) / sr
+        noise = np.random.RandomState(1).randn(secs * sr)
+        return (0.3 * np.sin(2 * np.pi * 220 * t)
+                + 0.1 * noise).astype(np.float32)[None]
+
+    audio_18k = jnp.asarray(synth(cfg.data.mel_sr))
+    audio_16k = jnp.asarray(synth(16000))
     pid = jax.nn.one_hot(jnp.array([1]), cfg.model.style_dim)
 
-    def run(key):
-        mel = frontend(audio_j)
-        T = mel.shape[1]
-        hubert = jnp.zeros((1, T, cfg.model.hubert_dim))
+    def stage_mel():
+        return frontend(audio_18k)
+
+    def stage_hubert(n_frames):
+        return hubert_fe(audio_16k, target_frames=n_frames)
+
+    def stage_sampler(mel, hubert, key):
         # fully-fused stream: one compiled program for all windows
-        out = stream.generate_fused(mel, pid, key, hubert=hubert)
-        return out
+        return stream.generate_fused(mel, pid, key, hubert=hubert)
 
-    # warmup / compile
-    run(jax.random.PRNGKey(0))[0].block_until_ready()
+    # warmup / compile all three stages
+    mel = stage_mel()
+    n_frames = mel.shape[1]
+    hub = stage_hubert(n_frames)
+    stage_sampler(mel, hub, jax.random.PRNGKey(0)).block_until_ready()
 
-    times = []
+    totals, stages = [], []
     for i in range(6):
         t0 = time.perf_counter()
-        out = run(jax.random.PRNGKey(i + 1))
+        mel = stage_mel()
+        mel.block_until_ready()
+        t1 = time.perf_counter()
+        hub = stage_hubert(n_frames)
+        hub.block_until_ready()
+        t2 = time.perf_counter()
+        out = stage_sampler(mel, hub, jax.random.PRNGKey(i + 1))
         out.block_until_ready()
-        times.append(time.perf_counter() - t0)
+        t3 = time.perf_counter()
+        totals.append(t3 - t0)
+        stages.append((t1 - t0, t2 - t1, t3 - t2))
+
     frames = int(out.shape[1])
-    fps = frames / min(times)
+    best = int(np.argmin(totals))
+    fps = frames / totals[best]
+    s_mel, s_hub, s_smp = stages[best]
+    print(f"stages (best of 6): mel={s_mel:.3f}s hubert={s_hub:.3f}s "
+          f"sampler={s_smp:.3f}s total={totals[best]:.3f}s "
+          f"frames={frames}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "beat_generation_fps",
