@@ -87,12 +87,26 @@ def cmd_train(args) -> int:
     mk = lambda ds: ShardedBatchLoader(
         ds, global_batch_size=batch, seed=cfg.train.seed,
         process_index=jax.process_index(), process_count=jax.process_count())
-    trainer = Trainer(cfg, args.workdir)
+    trainer = Trainer(cfg, args.workdir,
+                      fgd_variables=_load_fgd_variables(args, cfg))
     if args.resume:
         trainer.try_resume()
     trainer.fit(mk(train_ds), mk(val_ds) if val_ds else None,
                 num_epochs=args.epochs or None)
     return 0
+
+
+def _load_fgd_variables(args, cfg):
+    """Convert the reference's frozen FGD autoencoder checkpoint
+    (ae_300.bin / gesture_expression.pth.tar, reference runner.py:136-147)
+    so reported FGD is anchored to the paper's feature space."""
+    path = getattr(args, "fgd_checkpoint", None)
+    if not path:
+        return None
+    from diffsheg_tpu.compat.fgd_ckpt import load_torch_fgd_checkpoint
+    from diffsheg_tpu.eval.fgd_net import FgdNetConfig
+    return load_torch_fgd_checkpoint(path, FgdNetConfig(
+        n_frames=cfg.data.n_poses, pose_dim=cfg.model.motion_dim))
 
 
 def _load_stats(args):
@@ -234,7 +248,8 @@ def cmd_eval(args) -> int:
 
     cfg = _base_config(args)
     ds = _open_dataset(args, cfg, args.val_cache)
-    trainer = Trainer(cfg, args.workdir or "/tmp/diffsheg_eval")
+    trainer = Trainer(cfg, args.workdir or "/tmp/diffsheg_eval",
+                      fgd_variables=_load_fgd_variables(args, cfg))
     if args.checkpoint:
         variables = _load_variables(cfg, args.checkpoint)
         trainer.state = trainer.state._replace(
@@ -257,6 +272,7 @@ def cmd_test_stream(args) -> int:
     variables = _load_variables(cfg, args.checkpoint)
     metrics = generate_testset(cfg, variables, ds, args.out_dir,
                                jax.random.PRNGKey(args.seed),
+                               fgd_variables=_load_fgd_variables(args, cfg),
                                max_clips=args.max_clips)
     print(json.dumps(metrics, indent=2))
     return 0
@@ -285,6 +301,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stats-dir")
     sp.add_argument("--resume", action="store_true")
     sp.add_argument("--epochs", type=int, default=0)
+    sp.add_argument("--fgd-checkpoint",
+                    help="reference FGD autoencoder (ae_300.bin / "
+                         "gesture_expression.pth.tar) for eval FGD")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("generate", help="custom-audio generation")
@@ -318,6 +337,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint")
     sp.add_argument("--stats-dir")
     sp.add_argument("--workdir")
+    sp.add_argument("--fgd-checkpoint",
+                    help="reference FGD autoencoder checkpoint")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser(
@@ -329,6 +350,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--stats-dir")
     sp.add_argument("--out-dir", default="outputs/test_stream")
     sp.add_argument("--max-clips", type=int, default=0)
+    sp.add_argument("--fgd-checkpoint",
+                    help="reference FGD autoencoder checkpoint")
     sp.set_defaults(fn=cmd_test_stream)
     return p
 
