@@ -231,7 +231,7 @@ def forward_kinematics(data: BvhData, frames: Optional[np.ndarray] = None
 def rewrite_template(
     template_text: str,
     euler_deg_141: np.ndarray,            # (T, 141) denormalized euler degrees
-    header_lines: int = 431,
+    header_lines: int = None,
     indices: np.ndarray = SPINE_NECK_141_IN_BEAT,
 ) -> str:
     """Write generated motion into a full-skeleton BVH template.
@@ -244,6 +244,10 @@ def rewrite_template(
     drops the first generated frame due to an off-by-one; we keep it.)
     """
     lines = template_text.splitlines()
+    if header_lines is None:
+        # autodetect: the motion block starts after the "Frame Time:" line
+        header_lines = next(i for i, ln in enumerate(lines)
+                            if ln.startswith("Frame Time")) + 1
     header = lines[:header_lines]
     rest_pose = np.fromstring(lines[header_lines], dtype=np.float64, sep=" ")
     T = euler_deg_141.shape[0]
