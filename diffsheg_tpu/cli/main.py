@@ -49,10 +49,13 @@ def _apply_overrides(cfg: Config, sets: List[str]) -> Config:
 
 
 def _base_config(args) -> Config:
+    from diffsheg_tpu.config import resolve
+
     cfg = beat_config() if args.dataset == "beat" else show_config()
     if getattr(args, "set", None):
         cfg = _apply_overrides(cfg, args.set)
-    return cfg
+    # cross-field dims (remove_hand / audio_feat), like runner.py:124-225
+    return resolve(cfg)
 
 
 def _open_dataset(args, cfg, cache_path, hubert_cache=None):
@@ -64,10 +67,14 @@ def _open_dataset(args, cfg, cache_path, hubert_cache=None):
         if not path.endswith(".npy"):
             path = os.path.join(path, "talkshow_mean_std.npy")
         return ShowDataset(cache_path, ShowStats.load(path),
-                           hubert_cache_dir=hubert_cache)
+                           hubert_cache_dir=hubert_cache,
+                           remove_hand=cfg.data.remove_hand,
+                           audio_feat=cfg.data.audio_feat,
+                           n_mfcc=cfg.data.n_mfcc)
     from diffsheg_tpu.data.beat import BeatDataset, BeatStats
     stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
-    return BeatDataset(cache_path, stats, hubert_cache_dir=hubert_cache)
+    return BeatDataset(cache_path, stats, hubert_cache_dir=hubert_cache,
+                       remove_hand=cfg.data.remove_hand)
 
 
 def cmd_train(args) -> int:
@@ -273,7 +280,8 @@ def cmd_test_stream(args) -> int:
     metrics = generate_testset(cfg, variables, ds, args.out_dir,
                                jax.random.PRNGKey(args.seed),
                                fgd_variables=_load_fgd_variables(args, cfg),
-                               max_clips=args.max_clips)
+                               max_clips=args.max_clips,
+                               output_gt=args.output_gt)
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -352,6 +360,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-clips", type=int, default=0)
     sp.add_argument("--fgd-checkpoint",
                     help="reference FGD autoencoder checkpoint")
+    sp.add_argument("--output-gt", action="store_true",
+                    help="write ground truth instead of generating "
+                         "(reference --output_gt)")
     sp.set_defaults(fn=cmd_test_stream)
     return p
 

@@ -66,6 +66,9 @@ class ModelConfig:
     no_style: bool = False       # --remove_style semantics are handled at input level
     remove_audio: bool = False   # --remove_audio: zero the mel conditioning
     remove_style: bool = False   # --remove_style: zero the speaker one-hot
+    use_single_style: bool = False  # --use_single_style: force every sample's
+                                 # one-hot to speaker 0 (base_options.py:116,
+                                 # ddpm_beat_trainer.py:137-139)
     compute_dtype: str = "float32"  # dtype for matmuls inside the denoiser
 
     @property
@@ -131,6 +134,18 @@ class DataConfig:
     speaker_dim: int = 30
     data_root: str = "data/BEAT"
     cache_name: str = "beat_4english_15_141"
+    # --remove_hand (base_options.py:56): drop hand rotation channels from
+    # the motion data; BEAT keeps channels [0:21]+[75:87] (33 of 141,
+    # ddpm_beat_trainer.py:390), SHOW keeps the 39 body dims of the 129-d
+    # gesture (runner.py:195-197; the reference trainer's :63 slice at
+    # ddpm_show_trainer.py:367 contradicts its own dim_pose=39 and would
+    # crash — we implement the consistent runner semantics).
+    remove_hand: bool = False
+    # --audio_feat (base_options.py:43): conditioning feature for SHOW.
+    # {'mel','mfcc','raw'} are data-layer choices; 'hubert'/'wav2vec2' are
+    # expressed through model.add_hubert/speech_encoder instead.
+    audio_feat: str = "mel"
+    n_mfcc: int = 64             # mfcc dims (runner.py:210-211 audio_dim 64)
 
 
 @dataclass(frozen=True)
@@ -163,6 +178,10 @@ class TrainConfig:
                                  # async dispatch)
     debug: bool = False          # --debug: truncate every loop to one
                                  # iteration (reference base_options.py:33)
+    reset_lr: bool = False       # --reset_lr: after resuming a checkpoint,
+                                 # force the optimizer lr back to train.lr
+                                 # (train_options.py:15,
+                                 # ddpm_beat_trainer.py:352-354)
 
 
 @dataclass(frozen=True)
@@ -207,6 +226,29 @@ class Config:
             train=TrainConfig(**raw.get("train", {})),
             mesh=MeshConfig(**raw.get("mesh", {})),
         )
+
+
+def resolve(cfg: Config) -> Config:
+    """Apply the cross-field constants the reference injects in code.
+
+    Mirrors runner.py's per-dataset dim rewrites: --remove_hand shrinks
+    dim_pose (runner.py:128-131 BEAT 141->33, :193-197 SHOW 129->39) and
+    --audio_feat selects audio_dim (runner.py:210-217: mfcc 64, mel 128,
+    raw 1).  Only rewrites dims still at their full-preset defaults, so
+    explicit ``--set model.pose_dim=...`` overrides win.
+    """
+    model = cfg.model
+    if cfg.data.remove_hand:
+        is_beat = cfg.data.dataset_name == "beat"
+        full = 141 if is_beat else 129
+        no_hand = 33 if is_beat else 39
+        if model.pose_dim == full:
+            model = dataclasses.replace(model, pose_dim=no_hand)
+    feat_dim = {"mel": cfg.data.n_mels, "mfcc": cfg.data.n_mfcc,
+                "raw": 1}.get(cfg.data.audio_feat)
+    if feat_dim is not None and model.audio_dim != feat_dim:
+        model = dataclasses.replace(model, audio_dim=feat_dim)
+    return cfg.replace(model=model) if model is not cfg.model else cfg
 
 
 def beat_config(**overrides) -> Config:

@@ -40,6 +40,12 @@ from diffsheg_tpu.data.cache import ArrayCache, CacheWriter, cache_exists
 from diffsheg_tpu.geometry.face import read_face_json
 
 
+# --remove_hand channel subset: first 7 joints (21 ch) + joints 25-28
+# (12 ch) of the spine_neck_141 layout, i.e. everything except fingers
+# (reference ddpm_beat_trainer.py:390, runner.py:128-131 dim_pose 141->33).
+BEAT_HAND_FREE_CHANNELS = np.r_[0:21, 75:87]
+
+
 @dataclasses.dataclass
 class BeatStats:
     """Normalization statistics (reference datasets/beat.py:81-90)."""
@@ -304,9 +310,11 @@ class BeatDataset:
     """
 
     def __init__(self, cache_dir: str, stats: Optional[BeatStats] = None,
-                 hubert_cache_dir: Optional[str] = None):
+                 hubert_cache_dir: Optional[str] = None,
+                 remove_hand: bool = False):
         self.cache = ArrayCache(cache_dir)
         self.stats = stats
+        self.remove_hand = remove_hand
         self.hubert = (ArrayCache(hubert_cache_dir)
                        if hubert_cache_dir and cache_exists(hubert_cache_dir)
                        else None)
@@ -321,17 +329,25 @@ class BeatDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         s = self.cache[idx]
         out = dict(s)
-        out["motion"] = np.concatenate(
-            [s["pose_axis_angle"], s["facial"]], axis=-1)
+        pose_aa = s["pose_axis_angle"]
+        if self.remove_hand:
+            pose_aa = pose_aa[..., BEAT_HAND_FREE_CHANNELS]
+            out["pose_axis_angle"] = pose_aa
+            out["pose"] = s["pose"][..., BEAT_HAND_FREE_CHANNELS]
+        out["motion"] = np.concatenate([pose_aa, s["facial"]], axis=-1)
         if self.hubert is not None:
             out["hubert"] = _interp_frames(self.hubert[idx],
-                                           s["pose_axis_angle"].shape[0])
+                                           pose_aa.shape[0])
         return out
 
     def batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         b = self.cache.batch(indices,
                              ["pose", "pose_axis_angle", "mel", "facial",
                               "sem", "id"])
+        if self.remove_hand:
+            b["pose_axis_angle"] = b["pose_axis_angle"][
+                ..., BEAT_HAND_FREE_CHANNELS]
+            b["pose"] = b["pose"][..., BEAT_HAND_FREE_CHANNELS]
         b["motion"] = np.concatenate(
             [b["pose_axis_angle"], b["facial"]], axis=-1)
         if self.hubert is not None:

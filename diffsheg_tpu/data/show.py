@@ -148,14 +148,53 @@ class ShowDataset:
     """
 
     def __init__(self, cache_dir: str, stats: ShowStats,
-                 hubert_cache_dir: Optional[str] = None):
+                 hubert_cache_dir: Optional[str] = None,
+                 remove_hand: bool = False, audio_feat: str = "mel",
+                 n_mfcc: int = 64):
         self.cache = ArrayCache(cache_dir)
         self.stats = stats
+        # --remove_hand: keep the 39 body dims, drop the 90 hand dims
+        # (runner.py:195-197; the reference trainer's :63 slice at
+        # ddpm_show_trainer.py:367 contradicts its own dim_pose=39 and
+        # would crash — the runner semantics are implemented here)
+        self.remove_hand = remove_hand
+        # --audio_feat {mel, mfcc, raw} (base_options.py:43,
+        # datasets/show.py:108-113); hubert/wav2vec2 flow through the
+        # hubert cache + model.speech_encoder instead
+        self.audio_feat = audio_feat
+        self.n_mfcc = n_mfcc
+        self._mfcc_frontend = None
         self.hubert = (ArrayCache(hubert_cache_dir)
                        if hubert_cache_dir else None)
 
     def __len__(self) -> int:
         return len(self.cache)
+
+    def _aud_feat(self, s: Dict[str, np.ndarray], n_frames: int
+                  ) -> np.ndarray:
+        if self.audio_feat == "mel":
+            return s["mel"].astype(np.float32)
+        if self.audio_feat == "mfcc":
+            if "mfcc" in s:
+                return s["mfcc"].astype(np.float32)
+            # cache built before the mfcc field existed: compute on the fly
+            if self._mfcc_frontend is None:
+                from diffsheg_tpu.audio.mfcc import MfccFrontend
+                from diffsheg_tpu.audio.wav import resample_poly
+                self._resample = resample_poly
+                self._mfcc_frontend = MfccFrontend(
+                    sr=18000, hop=600, n_mfcc=self.n_mfcc, drop_last=False)
+            a18 = self._resample(np.asarray(s["audio"], np.float32),
+                                 16000, 18000)
+            return np.asarray(self._mfcc_frontend(a18[None]))[0, :n_frames]
+        if self.audio_feat == "raw":
+            # audio_dim=1 (runner.py:215): one scalar per motion frame.
+            # The reference reads a TalkSHOW-precomputed aud_raw row; here
+            # the 16 kHz window is mean-pooled into per-frame buckets.
+            a = np.asarray(s["audio"], dtype=np.float32)
+            n = (len(a) // n_frames) * n_frames
+            return a[:n].reshape(n_frames, -1).mean(-1, keepdims=True)
+        raise ValueError(f"unknown audio_feat {self.audio_feat!r}")
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         s = self.cache[idx]
@@ -164,12 +203,14 @@ class ShowDataset:
         expr = standardize(combine_expression(s["pose"], s["expression"]),
                            self.stats.expression_mean,
                            self.stats.expression_std)
+        if self.remove_hand:
+            gesture = gesture[..., :39]
         out = {
             "gesture": gesture.astype(np.float32),
             "expression": expr.astype(np.float32),
             "motion": np.concatenate([gesture, expr], axis=-1)
                         .astype(np.float32),
-            "mel": s["mel"].astype(np.float32),
+            "mel": self._aud_feat(s, gesture.shape[0]),
             "speaker": s["speaker"].astype(np.float32),
         }
         if self.hubert is not None:

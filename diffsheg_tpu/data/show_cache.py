@@ -36,6 +36,7 @@ class ShowBuildConfig:
     mel_sr: int = 18000
     mel_hop: int = 600           # mel_sr / fps
     n_mels: int = 128
+    n_mfcc: int = 64             # --audio_feat mfcc dims (runner.py:210-211)
     num_speakers: int = 4
     speaker_id_offset: int = 20  # reference ids 20..23 -> one-hot 0..3
                                  # (ddpm_show_trainer.py:385 'speaker-20')
@@ -56,6 +57,19 @@ def _mel(audio_windows: np.ndarray, cfg: ShowBuildConfig, n_poses: int
                     for a in audio_windows])
     frontend = MelFrontend(sr=cfg.mel_sr, hop=cfg.mel_hop,
                            n_mels=cfg.n_mels, drop_last=False)
+    return np.asarray(frontend(res))[:, :n_poses]
+
+
+def _mfcc(audio_windows: np.ndarray, cfg: ShowBuildConfig, n_poses: int
+          ) -> np.ndarray:
+    from diffsheg_tpu.audio.mfcc import MfccFrontend
+    from diffsheg_tpu.audio.wav import resample_poly
+
+    res = np.stack([resample_poly(a, cfg.audio_sr, cfg.mel_sr)
+                    for a in audio_windows])
+    frontend = MfccFrontend(sr=cfg.mel_sr, hop=cfg.mel_hop,
+                            n_mels=cfg.n_mels, n_mfcc=cfg.n_mfcc,
+                            drop_last=False)
     return np.asarray(frontend(res))[:, :n_poses]
 
 
@@ -108,11 +122,13 @@ def build_show_cache(
             e_w.append(expr[s:s + length])
             a_w.append(audio[a_s:a_s + audio_len])
         mel = _mel(np.stack(a_w), cfg, length)
+        mfcc = _mfcc(np.stack(a_w), cfg, length)
         for i in range(num_windows):
             writer.add({
                 "pose": p_w[i],
                 "expression": e_w[i],
                 "mel": mel[i].astype(np.float32),
+                "mfcc": mfcc[i].astype(np.float32),
                 "speaker": one_hot,
                 "audio": a_w[i],
             })

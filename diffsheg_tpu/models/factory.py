@@ -85,6 +85,7 @@ class SingleBranchDenoiser(nn.Module):
             classifier_free=c.classifier_free,
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
+            dropout=c.dropout,
             dtype=jnp.dtype(c.compute_dtype),
             name="encoder",
         )
@@ -98,9 +99,12 @@ class SingleBranchDenoiser(nn.Module):
 
 def ablate_inputs(cfg: ModelConfig, mel: jax.Array, pid: jax.Array):
     """Input-level ablations (reference --remove_audio / --remove_style
-    zero the respective conditioning)."""
+    zero the respective conditioning; --use_single_style forces speaker 0,
+    ddpm_beat_trainer.py:137-139)."""
     if cfg.remove_audio:
         mel = jnp.zeros_like(mel)
+    if cfg.use_single_style:
+        pid = jnp.zeros_like(pid).at[..., 0].set(1.0)
     if cfg.remove_style or cfg.no_style:
         pid = jnp.zeros_like(pid)
     return mel, pid

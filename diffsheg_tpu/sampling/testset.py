@@ -30,14 +30,23 @@ def generate_testset(
     rng: jax.Array,
     fgd_variables=None,
     max_clips: int = 0,
+    output_gt: bool = False,
     log=print,
 ) -> Dict[str, float]:
-    """Run streaming generation over every test clip; returns metrics."""
+    """Run streaming generation over every test clip; returns metrics.
+
+    ``output_gt`` skips the sampler and writes the ground truth instead,
+    into an ``_GT``-suffixed directory (reference --output_gt,
+    base_options.py:119, ddpm_beat_trainer.py:711,789) — the GT baseline
+    for external evaluation.
+    """
     from diffsheg_tpu.eval.metrics import (frechet_from_activations,
                                            mse_pck_channels)
     from diffsheg_tpu.sampling.generator import WindowGenerator
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
 
+    if output_gt:
+        out_dir = out_dir.rstrip("/") + "_GT"
     os.makedirs(out_dir, exist_ok=True)
     gen = StreamingGenerator(WindowGenerator(cfg, variables))
 
@@ -72,7 +81,10 @@ def generate_testset(
         pid = jax.nn.one_hot(jnp.asarray([sid]), cfg.model.style_dim)
 
         rng, k = jax.random.split(rng)
-        out = np.asarray(gen.generate(mel, pid, k, hubert=hubert))[0]
+        if output_gt:
+            out = gt[:T]
+        else:
+            out = np.asarray(gen.generate(mel, pid, k, hubert=hubert))[0]
         np.save(os.path.join(out_dir, f"clip_{i:05d}.npy"), out)
         total_frames += T
 

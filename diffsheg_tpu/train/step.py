@@ -37,10 +37,27 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    # the lr lives in the optimizer state (inject_hyperparams) so it is
+    # checkpointed and restored on resume, exactly like the reference's
+    # saved Adam param_groups; --reset_lr then forces it back to train.lr
+    # (reference train_options.py:15, ddpm_beat_trainer.py:352-354)
     return optax.chain(
         optax.clip_by_global_norm(cfg.train.grad_clip),
-        optax.adam(cfg.train.lr),
+        optax.inject_hyperparams(optax.adam)(learning_rate=cfg.train.lr),
     )
+
+
+def reset_learning_rate(opt_state, lr: float):
+    """Overwrite the checkpointed lr (the --reset_lr behaviour)."""
+    clip_state, inner = opt_state
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(
+        hp["learning_rate"]).dtype)
+    return (clip_state, inner._replace(hyperparams=hp))
+
+
+def current_learning_rate(opt_state) -> float:
+    return float(opt_state[1].hyperparams["learning_rate"])
 
 
 def create_train_state(cfg: Config, variables: Dict[str, Any],
@@ -85,7 +102,7 @@ def make_train_step(
 
     use_loss_aware = cfg.train.timestep_sampler == "loss-second-moment"
 
-    def loss_fn(params, batch_stats, batch, t, noise, t_weights):
+    def loss_fn(params, batch_stats, batch, t, noise, t_weights, rng_drop):
         x_start = batch["motion"]
         x_t = sched.q_sample(x_start, t, noise)
         sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
@@ -98,6 +115,7 @@ def make_train_step(
         out, mutated = model.apply(
             variables, x_t, t, (sr, srm1), mel, pid,
             hubert=batch.get("hubert"), train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng_drop},
             **extra,
         )
         terms = diffusion_loss(
@@ -113,7 +131,7 @@ def make_train_step(
                 ) -> Tuple[TrainState, LossTerms]:
         B = batch["motion"].shape[0]
         rng = jax.random.fold_in(rng, state.step)
-        rng_t, rng_n = jax.random.split(rng)
+        rng_t, rng_n, rng_drop = jax.random.split(rng, 3)
         if use_loss_aware:
             from diffsheg_tpu.diffusion.timestep_sampler import (
                 sample_loss_aware)
@@ -137,7 +155,8 @@ def make_train_step(
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (terms, new_bs, per_sample)), grads = grad_fn(
-            state.params, state.batch_stats, batch, t, noise, t_weights)
+            state.params, state.batch_stats, batch, t, noise, t_weights,
+            rng_drop)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_t_state = state.t_state

@@ -93,6 +93,12 @@ class Trainer:
         self.state = jax.tree.map(jnp.asarray, state)
         self.epoch = int(meta.get("epoch", 0))
         self.total_it = int(meta.get("total_it", 0))
+        if self.cfg.train.reset_lr:
+            from diffsheg_tpu.train.step import reset_learning_rate
+            self.state = self.state._replace(opt_state=reset_learning_rate(
+                self.state.opt_state, self.cfg.train.lr))
+            self.logger.log_text(f"reset_lr: optimizer lr forced to "
+                                 f"{self.cfg.train.lr}")
         self.logger.log_text(f"resumed at epoch {self.epoch} "
                              f"(it {self.total_it})")
         return True

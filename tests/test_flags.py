@@ -1,0 +1,351 @@
+"""Ablation / test-mode flags from the reference's option surface:
+--remove_hand, --use_single_style, --output_gt, --reset_lr, --audio_feat
+(base_options.py:43,56,116,119; train_options.py:15)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffsheg_tpu.config import beat_config, show_config, resolve
+
+
+class TestResolve:
+    def test_remove_hand_beat_dims(self):
+        cfg = beat_config()
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   remove_hand=True))
+        cfg = resolve(cfg)
+        assert cfg.model.pose_dim == 33      # runner.py:128-131
+        assert cfg.model.motion_dim == 33 + 51
+
+    def test_remove_hand_show_dims(self):
+        cfg = show_config()
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data,
+                                                   remove_hand=True))
+        cfg = resolve(cfg)
+        assert cfg.model.pose_dim == 39      # runner.py:195-197
+
+    def test_explicit_pose_dim_wins(self):
+        cfg = beat_config()
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, remove_hand=True),
+            model=dataclasses.replace(cfg.model, pose_dim=20))
+        assert resolve(cfg).model.pose_dim == 20
+
+    def test_audio_feat_dims(self):
+        cfg = show_config()
+        for feat, dim in (("mfcc", 64), ("raw", 1), ("mel", 128)):
+            c = resolve(cfg.replace(
+                data=dataclasses.replace(cfg.data, audio_feat=feat)))
+            assert c.model.audio_dim == dim  # runner.py:210-217
+
+
+class TestUseSingleStyle:
+    def test_pid_forced_to_speaker0(self):
+        from diffsheg_tpu.models.factory import ablate_inputs
+
+        cfg = beat_config().model
+        cfg = dataclasses.replace(cfg, use_single_style=True)
+        pid = jax.nn.one_hot(jnp.array([3, 7, 0]), cfg.style_dim)
+        mel = jnp.ones((3, 8, 128))
+        _, pid2 = ablate_inputs(cfg, mel, pid)
+        expect = np.zeros((3, cfg.style_dim), np.float32)
+        expect[:, 0] = 1.0
+        np.testing.assert_array_equal(np.asarray(pid2), expect)
+
+    def test_remove_style_still_zeroes(self):
+        from diffsheg_tpu.models.factory import ablate_inputs
+
+        cfg = dataclasses.replace(beat_config().model,
+                                  use_single_style=True, remove_style=True)
+        pid = jax.nn.one_hot(jnp.array([3]), cfg.style_dim)
+        _, pid2 = ablate_inputs(cfg, jnp.ones((1, 8, 128)), pid)
+        np.testing.assert_array_equal(np.asarray(pid2), 0.0)
+
+
+class TestResetLr:
+    def test_lr_lives_in_opt_state_and_resets(self):
+        from diffsheg_tpu.train.step import (create_train_state,
+                                             current_learning_rate,
+                                             make_optimizer,
+                                             reset_learning_rate)
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False))
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        state = create_train_state(cfg, variables)
+        assert current_learning_rate(state.opt_state) == pytest.approx(2e-4)
+
+        # simulate a checkpoint that carried a different lr
+        stale = reset_learning_rate(state.opt_state, 5e-5)
+        assert current_learning_rate(stale) == pytest.approx(5e-5)
+        back = reset_learning_rate(stale, cfg.train.lr)
+        assert current_learning_rate(back) == pytest.approx(cfg.train.lr)
+
+    def test_step_still_optimizes(self):
+        """The inject_hyperparams wrapper must not change the update math."""
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        from diffsheg_tpu.train.step import (create_train_state,
+                                             make_train_step)
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False))
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        B, T = 4, 8
+        batch = {
+            "motion": jnp.ones((B, T, cfg.model.motion_dim)) * 0.1,
+            "mel": jnp.ones((B, T, 128)),
+            "pid": jax.nn.one_hot(jnp.zeros(B, jnp.int32),
+                                  cfg.model.style_dim),
+            "sem": jnp.ones((B, T)) * 0.5,
+        }
+        l0 = None
+        for i in range(5):
+            state, terms = step(state, batch, jax.random.PRNGKey(0))
+            if l0 is None:
+                l0 = float(terms.total)
+        assert np.isfinite(float(terms.total))
+        assert int(state.step) == 5
+
+
+class TestMfcc:
+    def test_dct_matches_scipy(self):
+        from scipy.fftpack import dct
+
+        from diffsheg_tpu.audio.mfcc import dct_ii_matrix
+
+        x = np.random.RandomState(0).randn(5, 128)
+        ref = dct(x, type=2, norm="ortho", axis=-1)[:, :64]
+        ours = x @ dct_ii_matrix(128, 64)
+        np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+    def test_power_to_db_formula(self):
+        from diffsheg_tpu.audio.mfcc import power_to_db
+
+        S = np.abs(np.random.RandomState(1).randn(2, 7, 11)) ** 2
+        out = np.asarray(power_to_db(jnp.asarray(S)))
+        ref = 10.0 * np.log10(np.maximum(1e-10, S))
+        ref = np.maximum(ref, ref.max(axis=(1, 2), keepdims=True) - 80.0)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_frontend_shape(self):
+        from diffsheg_tpu.audio.mfcc import MfccFrontend
+
+        fe = MfccFrontend(sr=18000, hop=600, n_mfcc=64, drop_last=False)
+        audio = np.random.RandomState(2).randn(1, 18000).astype(np.float32)
+        out = np.asarray(fe(audio))
+        assert out.shape[0] == 1 and out.shape[2] == 64
+        assert np.isfinite(out).all()
+
+
+class TestDatasetFlags:
+    def _beat_ds(self, tmp_path, **kw):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_data import _write_toy_beat_split
+
+        from diffsheg_tpu.data.beat import (BeatBuildConfig, BeatDataset,
+                                            BeatStats, build_beat_cache)
+
+        _write_toy_beat_split(tmp_path)
+        stats = BeatStats(
+            mean_pose=np.zeros(141), std_pose=np.ones(141),
+            mean_axis_angle=np.zeros(141), std_axis_angle=np.ones(141),
+            mean_facial=np.zeros(51), std_facial=np.ones(51))
+        build_beat_cache(str(tmp_path), str(tmp_path / "cache"), stats,
+                         BeatBuildConfig(n_poses=34, stride=10),
+                         log=lambda *a: None)
+        return BeatDataset(str(tmp_path / "cache"), stats, **kw)
+
+    def test_beat_remove_hand(self, tmp_path):
+        ds = self._beat_ds(tmp_path, remove_hand=True)
+        s = ds[0]
+        assert s["pose_axis_angle"].shape == (34, 33)
+        assert s["motion"].shape == (34, 33 + 51)
+        b = ds.batch(np.asarray([0, 1]))
+        assert b["motion"].shape == (2, 34, 84)
+        # the kept channels are exactly [0:21]+[75:87] of the full layout
+        full = self._beat_ds(tmp_path / "full")
+        sf = full[0]
+        keep = np.r_[0:21, 75:87]
+        np.testing.assert_allclose(s["pose_axis_angle"],
+                                   sf["pose_axis_angle"][:, keep])
+
+    def _show_ds(self, tmp_path, **kw):
+        import diffsheg_tpu.data.show as show_mod
+        from diffsheg_tpu.data.show_cache import (ShowBuildConfig,
+                                                  build_show_cache,
+                                                  compute_show_stats)
+
+        def seqs():
+            rng = np.random.RandomState(0)
+            for i in range(2):
+                T = 200
+                yield {
+                    "pose": rng.randn(T, 165).astype(np.float32),
+                    "expression": rng.randn(T, 100).astype(np.float32),
+                    "audio": rng.randn(int(T / 30 * 16000)
+                                       ).astype(np.float32) * .1,
+                    "speaker": 20 + i,
+                }
+
+        st = show_mod.ShowStats.from_raw_dict(compute_show_stats(seqs()))
+        build_show_cache(seqs(), str(tmp_path / "sc"),
+                         ShowBuildConfig(n_poses=88, stride=40),
+                         log=lambda *a: None)
+        return show_mod.ShowDataset(str(tmp_path / "sc"), st, **kw)
+
+    def test_show_remove_hand(self, tmp_path):
+        ds = self._show_ds(tmp_path, remove_hand=True)
+        s = ds[0]
+        assert s["gesture"].shape == (88, 39)
+        assert s["motion"].shape == (88, 39 + 103)
+
+    def test_show_mfcc_from_cache(self, tmp_path):
+        ds = self._show_ds(tmp_path, audio_feat="mfcc")
+        s = ds[0]
+        assert s["mel"].shape == (88, 64)   # aud_feat slot carries mfcc
+        assert np.isfinite(s["mel"]).all()
+
+    def test_show_raw(self, tmp_path):
+        ds = self._show_ds(tmp_path, audio_feat="raw")
+        s = ds[0]
+        assert s["mel"].shape == (88, 1)
+
+
+class TestOutputGt:
+    def test_writes_gt_to_suffixed_dir(self, tmp_path):
+        from diffsheg_tpu.sampling.testset import generate_testset
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False))
+
+        class TinyDs:
+            def __len__(self):
+                return 2
+
+            def __getitem__(self, i):
+                rng = np.random.RandomState(i)
+                return {
+                    "motion": rng.randn(40, 192).astype(np.float32),
+                    "mel": rng.randn(40, 128).astype(np.float32),
+                    "id": np.asarray([1]),
+                }
+
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+        out = str(tmp_path / "res")
+        ds = TinyDs()
+        metrics = generate_testset(cfg, variables, ds, out,
+                                   jax.random.PRNGKey(0), output_gt=True,
+                                   log=lambda *a: None)
+        assert os.path.isdir(out + "_GT") and not os.path.isdir(out)
+        clip0 = np.load(os.path.join(out + "_GT", "clip_00000.npy"))
+        np.testing.assert_array_equal(clip0, ds[0]["motion"])
+        assert metrics["mse"] == pytest.approx(0.0)
+
+
+class TestDropout:
+    """ModelConfig.dropout was a silent no-op; now it threads nn.Dropout
+    through FFN + StylizationBlocks (reference transformer.py:80-84,179) and
+    the ppe_sinu_dropout PE variant (:20-22,573-574)."""
+
+    def _model(self, **model_kw):
+        from diffsheg_tpu.models.unidiffuser import (UniDiffuser,
+                                                     init_unidiffuser)
+
+        cfg = beat_config().model
+        cfg = dataclasses.replace(
+            cfg, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False, **model_kw)
+        model, variables = init_unidiffuser(cfg, 8, jax.random.PRNGKey(0))
+        # the architecture zero-inits every output projection, which would
+        # annihilate dropout's effect at init — shift params off zero
+        variables = dict(variables)
+        variables["params"] = jax.tree.map(lambda x: x + 0.01,
+                                           variables["params"])
+        B, T = 2, 8
+        args = (
+            jnp.ones((B, T, cfg.motion_dim)) * 0.3,
+            jnp.array([5, 9]),
+            (jnp.ones((B, 1, 1)), jnp.ones((B, 1, 1))),
+            jnp.ones((B, T, cfg.audio_dim)),
+            jax.nn.one_hot(jnp.array([1, 2]), cfg.style_dim),
+        )
+        return model, variables, args
+
+    def test_train_mode_is_stochastic(self):
+        model, variables, args = self._model(dropout=0.5)
+        o1 = model.apply(variables, *args, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(1)},
+                         mutable=["batch_stats"])[0]
+        o2 = model.apply(variables, *args, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])[0]
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_eval_mode_ignores_dropout(self):
+        m_drop, v_drop, args = self._model(dropout=0.5)
+        m_nd, v_nd, _ = self._model(dropout=0.0)
+        # same init seed -> same params; eval outputs must be identical
+        o1 = m_drop.apply(v_drop, *args, train=False)
+        o2 = m_nd.apply(v_nd, *args, train=False)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_ppe_sinu_dropout_variant(self):
+        m, v, args = self._model(dropout=0.0, pe_type="ppe_sinu_dropout")
+        o1 = m.apply(v, *args, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(1)},
+                     mutable=["batch_stats"])[0]
+        o2 = m.apply(v, *args, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)},
+                     mutable=["batch_stats"])[0]
+        # the PPE's own p=0.1 drops even with model dropout 0
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+        # at eval it degenerates to plain ppe_sinu
+        m2, v2, _ = self._model(dropout=0.0, pe_type="ppe_sinu")
+        np.testing.assert_allclose(
+            np.asarray(m.apply(v, *args, train=False)),
+            np.asarray(m2.apply(v2, *args, train=False)))
+
+    def test_train_step_with_dropout(self):
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        from diffsheg_tpu.train.step import (create_train_state,
+                                             make_train_step)
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False, dropout=0.1))
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        batch = {
+            "motion": jnp.ones((4, 8, cfg.model.motion_dim)) * 0.1,
+            "mel": jnp.ones((4, 8, 128)),
+            "pid": jax.nn.one_hot(jnp.zeros(4, jnp.int32),
+                                  cfg.model.style_dim),
+            "sem": jnp.ones((4, 8)) * 0.5,
+        }
+        state, terms = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(terms.total))
