@@ -49,9 +49,11 @@ class LinearTemporalSelfAttention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = None
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, src_mask: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array, src_mask: jax.Array,
+                 train: bool = False) -> jax.Array:
         from diffsheg_tpu.models.blocks import StylizationBlock  # circular-safe
         from diffsheg_tpu.ops.linear_attention import linear_attention
 
@@ -68,5 +70,7 @@ class LinearTemporalSelfAttention(nn.Module):
 
         y = linear_attention(query, key, value, self.num_heads,
                              use_fused=self.use_fused)
-        y = StylizationBlock(self.latent_dim, dtype=self.dtype, name="proj_out")(y, emb)
+        y = StylizationBlock(self.latent_dim, dtype=self.dtype,
+                             dropout=self.dropout, name="proj_out"
+                             )(y, emb, train=train)
         return x + y

@@ -44,9 +44,11 @@ class StylizationBlock(nn.Module):
 
     latent_dim: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, h: jax.Array, emb: jax.Array) -> jax.Array:
+    def __call__(self, h: jax.Array, emb: jax.Array,
+                 train: bool = False) -> jax.Array:
         # emb: (B, E) -> (B, 1, 2*latent)
         mod = nn.Dense(2 * self.latent_dim, dtype=self.dtype, name="emb_proj")(
             nn.silu(emb)
@@ -54,13 +56,15 @@ class StylizationBlock(nn.Module):
         scale, shift = jnp.split(mod, 2, axis=-1)
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(h)
         h = h * (1.0 + scale) + shift
+        # out_layers = SiLU -> Dropout -> zero Linear (transformer.py:80-84)
+        h = nn.Dropout(self.dropout)(nn.silu(h), deterministic=not train)
         h = nn.Dense(
             self.latent_dim,
             dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="out_proj",
-        )(nn.silu(h))
+        )(h)
         return h
 
 
@@ -71,11 +75,14 @@ class FFN(nn.Module):
     latent_dim: int
     ffn_dim: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: jax.Array,
+                 train: bool = False) -> jax.Array:
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
-        y = gelu_exact(y)
+        # linear2(dropout(gelu(linear1(x)))) (transformer.py:179)
+        y = nn.Dropout(self.dropout)(gelu_exact(y), deterministic=not train)
         y = nn.Dense(
             self.latent_dim,
             dtype=self.dtype,
@@ -83,7 +90,9 @@ class FFN(nn.Module):
             bias_init=nn.initializers.zeros,
             name="linear2",
         )(y)
-        y = StylizationBlock(self.latent_dim, dtype=self.dtype, name="proj_out")(y, emb)
+        y = StylizationBlock(self.latent_dim, dtype=self.dtype,
+                             dropout=self.dropout, name="proj_out"
+                             )(y, emb, train=train)
         return x + y
 
 
@@ -121,6 +130,7 @@ class DiffusionTransformerLayer(nn.Module):
     ffn_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -131,6 +141,7 @@ class DiffusionTransformerLayer(nn.Module):
         src_mask: jax.Array,              # (B, T, 1)
         null_cond_mask: Optional[jax.Array] = None,  # (B,) bool: use null cond
         null_cond_emb: Optional[jax.Array] = None,   # (1, L + C_cond)
+        train: bool = False,
     ) -> jax.Array:
         if cond is not None:
             x_ori = x
@@ -148,8 +159,13 @@ class DiffusionTransformerLayer(nn.Module):
             # residual save/restore doubles the input (transformer.py:302,337).
             x = x + x
 
+        # NOTE: the reference's attention-level nn.Dropout is constructed but
+        # never called in forward (transformer.py:109,112-130) — only the
+        # StylizationBlock inside the attention residual drops.
         x = LinearTemporalSelfAttention(
-            self.latent_dim, self.num_heads, dtype=self.dtype, name="sa_block"
-        )(x, emb, src_mask)
-        x = FFN(self.latent_dim, self.ffn_dim, dtype=self.dtype, name="ffn")(x, emb)
+            self.latent_dim, self.num_heads, dtype=self.dtype,
+            dropout=self.dropout, name="sa_block"
+        )(x, emb, src_mask, train=train)
+        x = FFN(self.latent_dim, self.ffn_dim, dtype=self.dtype,
+                dropout=self.dropout, name="ffn")(x, emb, train=train)
         return x

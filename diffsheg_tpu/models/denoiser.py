@@ -91,6 +91,7 @@ class MotionDenoiser(nn.Module):
     classifier_free: bool = False
     null_cond_prob: float = 0.2
     cond_scale: float = 1.0
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -188,6 +189,11 @@ class MotionDenoiser(nn.Module):
                 self.pe_type, T, self.latent_dim, self.max_seq_len
             )
             h = h + jnp.asarray(table, dtype=compute)[None]
+            if self.pe_type == "ppe_sinu_dropout":
+                # the reference PPE's own Dropout defaults to p=0.1
+                # regardless of the model dropout arg (transformer.py:20-22,
+                # applied with dropout=True at :573-574)
+                h = nn.Dropout(0.1)(h, deterministic=not train)
 
         audio_lat = nn.Dense(self.aud_latent_dim, dtype=compute, name="audio_proj")(
             audio.astype(compute)
@@ -201,8 +207,10 @@ class MotionDenoiser(nn.Module):
                 self.ff_size,
                 self.num_heads,
                 dtype=compute,
+                dropout=self.dropout,
                 name=f"layer_{i}",
-            )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb)
+            )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb,
+              train=train)
 
         out = nn.Dense(self.input_feats, dtype=compute, name="out")(h)
         out = out.astype(jnp.float32)

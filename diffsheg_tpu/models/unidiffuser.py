@@ -59,8 +59,9 @@ class UniDiffuser(nn.Module):
 
         # 1. audio encoder: one layer at latent = audio_dim, no condition.
         audio_feat = DiffusionTransformerLayer(
-            c.audio_dim, c.ff_size, c.num_heads, dtype=dtype, name="encoder_aud"
-        )(audio_mel.astype(dtype), None, emb, src_mask)
+            c.audio_dim, c.ff_size, c.num_heads, dtype=dtype,
+            dropout=c.dropout, name="encoder_aud"
+        )(audio_mel.astype(dtype), None, emb, src_mask, train=train)
         audio_emb = jnp.concatenate([audio_mel.astype(dtype), audio_feat], axis=-1)
 
         gesture, expression = jnp.split(x, [c.pose_dim], axis=-1)
@@ -81,6 +82,7 @@ class UniDiffuser(nn.Module):
             classifier_free=c.classifier_free,
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
+            dropout=c.dropout,
             dtype=dtype,
         )
 
