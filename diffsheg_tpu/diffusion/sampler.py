@@ -99,6 +99,7 @@ def repaint_project(
     gt: jax.Array,           # (B, T, C) ground-truth (only head frames used)
     noise: jax.Array,        # (B, T, C)
     prev_tail: Optional[jax.Array] = None,  # (B, overlap, C) saved noisy tail
+    prev_tail_valid: Optional[jax.Array] = None,  # scalar bool (traced)
 ) -> jax.Array:
     """Project the overlap frames toward noised GT (gaussian_diffusion.py:1034-1056)."""
     ov = spec.overlap_len
@@ -107,7 +108,12 @@ def repaint_project(
 
     weighed_gt = jnp.sqrt(ab_prev) * gt + noise_w * noise
     if prev_tail is not None:
-        weighed_gt = weighed_gt.at[:, :ov].set(prev_tail)
+        head = prev_tail
+        if prev_tail_valid is not None:
+            # dynamic validity lets a scanned window program handle both the
+            # first continuation window (no saved tails yet) and later ones
+            head = jnp.where(prev_tail_valid, prev_tail, weighed_gt[:, :ov])
+        weighed_gt = weighed_gt.at[:, :ov].set(head)
 
     head_gt = weighed_gt[:, :ov]
     if spec.add_blend:
@@ -133,6 +139,7 @@ def ddim_sample_program(
     repaint: Optional[RepaintSpec] = None,
     gt: Optional[jax.Array] = None,
     prev_saved_tails: Optional[jax.Array] = None,
+    prev_tails_valid: Optional[jax.Array] = None,
     unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full reverse program and return ``(sample, saved_tails)``.
@@ -170,6 +177,7 @@ def ddim_sample_program(
                 x_new = repaint_project(
                     sched, repaint, x_new, t, gt,
                     jax.random.normal(k_gt, x.shape), prev_tail,
+                    prev_tails_valid if use_prev else None,
                 )
                 if track_tails:
                     tails = tails.at[t_scalar].set(x_new[:, -repaint.overlap_len:])

@@ -96,7 +96,8 @@ class WindowGenerator:
             )
             return x
 
-        def sample_repaint(variables, mel, pid, hubert, gt, prev_tails, rng):
+        def sample_repaint(variables, mel, pid, hubert, gt, prev_tails, rng,
+                           prev_tails_valid=None):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
@@ -105,6 +106,7 @@ class WindowGenerator:
                 repaint_prog, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
+                prev_tails_valid=prev_tails_valid,
                 unroll=diff.scan_unroll,
             )
 

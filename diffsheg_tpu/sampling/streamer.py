@@ -147,10 +147,14 @@ class StreamingGenerator:
         rng: jax.Array,
         hubert: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Whole-stream generation as ONE compiled program."""
+        """Whole-stream generation as ONE compiled program.
+
+        ``same_overlap_noisy`` is supported: the per-level saved-tail stack
+        (reference gaussian_diffusion.py:1040-1042,1058-1060) rides the
+        window scan's carry, with a validity flag so the first continuation
+        window (which has no saved tails yet) shares the compiled body.
+        """
         cfg = self.cfg
-        assert not cfg.stream.same_overlap_noisy, (
-            "same_overlap_noisy carries per-level tails; use generate()")
         size = cfg.data.n_poses
         overlap = cfg.stream.overlap_len
         step = size - overlap
@@ -178,6 +182,8 @@ class StreamingGenerator:
         C = denoised_channels(cfg.model)
         gen = self.gen
         K = len(starts)
+        track_tails = cfg.stream.same_overlap_noisy
+        n_levels = gen.schedule.num_steps + 1
         # static layout facts (starts are uniform except a possibly
         # left-shifted final window)
         last_s = starts[-1]
@@ -196,13 +202,17 @@ class StreamingGenerator:
 
         def fused(variables, mel, person_id, hubert, keys):
             B = mel.shape[0]
+            tails0 = jnp.zeros((n_levels, B, overlap or 1, C))
+            valid0 = jnp.asarray(False)
 
             # window 0
             mel0, hub0 = slice_w(mel, 0), slice_w(hubert, 0)
             if cfg.stream.fix_very_first and overlap > 0:
-                out0, _ = gen.sample_repaint_fn(
+                out0, t0 = gen.sample_repaint_fn(
                     variables, mel0, person_id, hub0,
                     jnp.zeros((B, size, C)), None, keys[0])
+                if track_tails:
+                    tails0, valid0 = t0, jnp.asarray(True)
             else:
                 out0 = gen.sample_plain_fn(variables, mel0, person_id, hub0,
                                            keys[0])
@@ -213,26 +223,35 @@ class StreamingGenerator:
                 hub_mid = (jnp.stack([slice_w(hubert, s) for s in mids])
                            if has_hubert else jnp.zeros((len(mids),)))
 
-                def body(prev_out, inp):
+                def body(carry, inp):
+                    prev_out, tails, valid = carry
                     mel_w, hub_w, key = inp
                     gt = with_head(prev_out[:, step:])
-                    out, _ = gen.sample_repaint_fn(
+                    out, new_tails = gen.sample_repaint_fn(
                         variables, mel_w,
                         person_id, hub_w if has_hubert else None,
-                        gt, None, key)
-                    return out, out[:, :step]
+                        gt, tails if track_tails else None, key,
+                        prev_tails_valid=valid if track_tails else None)
+                    if not track_tails:
+                        new_tails = tails
+                    return ((out, new_tails, jnp.asarray(True)),
+                            out[:, :step])
 
-                prev_out, mid_emit = jax.lax.scan(
-                    body, out0, (mel_mid, hub_mid, keys[1:-1]))
+                (prev_out, tails, valid), mid_emit = jax.lax.scan(
+                    body, (out0, tails0, valid0),
+                    (mel_mid, hub_mid, keys[1:-1]))
             else:
                 prev_out, mid_emit = out0, None
+                tails, valid = tails0, valid0
 
             # final window (left-shifted when the stride doesn't divide)
             gt_last = with_head(
                 prev_out[:, last_tail_from:last_tail_from + overlap])
             out_last, _ = gen.sample_repaint_fn(
                 variables, slice_w(mel, last_s), person_id,
-                slice_w(hubert, last_s), gt_last, None, keys[-1])
+                slice_w(hubert, last_s), gt_last,
+                tails if track_tails else None, keys[-1],
+                prev_tails_valid=valid if track_tails else None)
 
             # on-device assembly
             res = jnp.zeros((B, T, C), dtype=jnp.float32)

@@ -233,3 +233,60 @@ class TestFusedStreamer:
         cfg, stream, mel, pid = self._setup(20)
         out = stream.generate_fused(mel, pid, jax.random.PRNGKey(0))
         assert out.shape == (2, 20, cfg.model.motion_dim)
+
+
+class TestFusedSameOverlapNoisy:
+    def _setup(self, T, **stream_kw):
+        import dataclasses
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        from diffsheg_tpu.sampling.generator import WindowGenerator
+        from diffsheg_tpu.sampling.streamer import StreamingGenerator
+        cfg = beat_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, latent_dim=32, num_layers=1, num_heads=2,
+                ff_size=64, add_hubert=False),
+            stream=dataclasses.replace(cfg.stream, same_overlap_noisy=True,
+                                       **stream_kw))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+        stream = StreamingGenerator(WindowGenerator(cfg, variables))
+        B = 2
+        mel = jax.random.normal(jax.random.PRNGKey(1),
+                                (B, T, cfg.model.audio_dim))
+        pid = jax.nn.one_hot(jnp.arange(B), cfg.model.style_dim)
+        return cfg, stream, mel, pid
+
+    def test_fused_matches_host_loop(self):
+        # T=100 exercises: plain window 0 (no tails), first continuation
+        # (valid=False), scanned continuations (valid=True), shifted last.
+        cfg, stream, mel, pid = self._setup(100)
+        rng = jax.random.PRNGKey(7)
+        host = np.asarray(stream.generate(mel, pid, rng))
+        fused = np.asarray(stream.generate_fused(mel, pid, rng))
+        np.testing.assert_allclose(fused, host, atol=2e-4, rtol=2e-4)
+
+    def test_fused_with_fix_very_first(self):
+        # fix_very_first makes window 0 a repaint window whose tails are
+        # valid for window 1 already.
+        cfg, stream, mel, pid = self._setup(94, fix_very_first=True)
+        rng = jax.random.PRNGKey(5)
+        host = np.asarray(stream.generate(mel, pid, rng))
+        fused = np.asarray(stream.generate_fused(mel, pid, rng))
+        np.testing.assert_allclose(fused, host, atol=2e-4, rtol=2e-4)
+
+    def test_flag_changes_output(self):
+        # the saved-tail reuse must actually alter the samples
+        cfg, stream, mel, pid = self._setup(100)
+        import dataclasses
+        from diffsheg_tpu.sampling.generator import WindowGenerator
+        from diffsheg_tpu.sampling.streamer import StreamingGenerator
+        cfg_off = cfg.replace(stream=dataclasses.replace(
+            cfg.stream, same_overlap_noisy=False))
+        stream_off = StreamingGenerator(
+            WindowGenerator(cfg_off, stream.gen.variables))
+        rng = jax.random.PRNGKey(7)
+        on = np.asarray(stream.generate_fused(mel, pid, rng))
+        off = np.asarray(stream_off.generate_fused(mel, pid, rng))
+        assert not np.allclose(on, off)
