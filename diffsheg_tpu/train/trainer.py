@@ -204,7 +204,7 @@ class Trainer:
                                                mse_pck_channels)
 
         gen = self._get_generator()
-        mses, pcks, divs = [], [], []
+        mses, pcks, outs = [], [], []
         gen_lat, real_lat = [], []
         fgd_embed = None
         if self.fgd_variables is not None:
@@ -226,15 +226,19 @@ class Trainer:
             tgt = np.asarray(mb["motion"])
             m, p = mse_pck_channels(out_np, tgt)
             mses.append(m); pcks.append(p)
-            divs.append(div_fn(out_np))
+            outs.append(out_np)
             if fgd_embed is not None:
                 gen_lat.append(np.asarray(fgd_embed(out)))
                 real_lat.append(np.asarray(fgd_embed(jnp.asarray(tgt))))
 
+        # diversity over 50-sample groups of the pooled outputs — the
+        # protocol batch from Ye et al. ECCV'22 (ddpm_beat_trainer.py:601),
+        # regardless of the loader's batch size
         res = EvalResult(
             mse=float(np.mean(mses)) if mses else float("nan"),
             pck=float(np.mean(pcks)) if pcks else float("nan"),
-            diversity=float(np.mean(divs)) if divs else float("nan"),
+            diversity=(div_fn(np.concatenate(outs), batch=50)
+                       if outs else float("nan")),
             fgd=(frechet_from_activations(np.concatenate(gen_lat),
                                           np.concatenate(real_lat))
                  if gen_lat else float("nan")),

@@ -143,3 +143,81 @@ class TestChannelMetrics:
         b = np.zeros((2, 4, 232))
         m, p = M.mse_pck_channels(a, b)
         assert np.isfinite(m) and 0.9 < p <= 1.0
+
+
+class TestBeatAlignProtocol:
+    """Protocol constants of the external BEAT harness, asserted explicitly
+    (alignment(sigma=0.3, order=7); mean over kinematic beats)."""
+
+    def test_defaults(self):
+        import inspect
+        sig = inspect.signature(M.beat_alignment)
+        assert sig.parameters["sigma"].default == 0.3
+        assert sig.parameters["order"].default == 7
+
+    def test_kinematic_beats_order_window(self):
+        # a dip must be strictly below every neighbour within +-order frames
+        vel = np.ones(40)
+        vel[10] = 0.1            # isolated deep dip -> beat
+        vel[20] = 0.5            # dip ...
+        vel[24] = 0.2            # ... shadowed by a deeper one 4 frames away
+        motion = np.concatenate([[0.0], np.cumsum(vel)])[:, None]
+        beats = M.kinematic_beats(motion, order=7)
+        assert 10 in beats
+        assert 24 in beats and 20 not in beats
+        # order=3 window is narrower: both count
+        beats3 = M.kinematic_beats(motion, order=3)
+        assert 20 in beats3 and 24 in beats3
+
+    def test_hand_computed_score(self):
+        fps, sigma = 15.0, 0.3
+        vel = np.ones(60)
+        vel[15] = 0.0
+        vel[40] = 0.0
+        motion = np.concatenate([[0.0], np.cumsum(vel)])[:, None]
+        audio = np.array([1.1, 2.0])  # seconds
+        # kinematic beats at velocity indices 15, 40 -> times 1.0, 2.6667
+        d1 = min(abs(15 / fps - 1.1), abs(15 / fps - 2.0))     # 0.1
+        d2 = min(abs(40 / fps - 1.1), abs(40 / fps - 2.0))     # 0.6667
+        expect = 0.5 * (np.exp(-d1**2 / (2 * sigma**2))
+                        + np.exp(-d2**2 / (2 * sigma**2)))
+        got = M.beat_alignment(motion, audio, fps)
+        assert got == pytest.approx(expect, rel=1e-9)
+
+    def test_averages_over_kinematic_not_audio_beats(self):
+        # 1 kinematic beat, 3 audio beats: one perfect audio hit must give a
+        # perfect score when averaging over kinematic beats (it would be
+        # diluted to ~1/3 if averaged over audio beats)
+        fps = 15.0
+        vel = np.ones(60)
+        vel[30] = 0.0
+        motion = np.concatenate([[0.0], np.cumsum(vel)])[:, None]
+        audio = np.array([30 / fps, 10.0, 20.0])
+        assert M.beat_alignment(motion, audio, fps) == pytest.approx(1.0)
+
+
+class TestDiversityProtocol:
+    def test_group_size_and_remainder(self):
+        # reference splits into full B_div groups and drops the remainder
+        # (ddpm_beat_trainer.py:601-614)
+        rng = np.random.RandomState(0)
+        x = rng.randn(7, 3, 4)
+        got = M.diversity(x, batch=3)
+        exp_groups = []
+        for g in (x[0:3], x[3:6]):
+            acc = 0.0
+            for i in range(3):
+                for j in range(i + 1, 3):
+                    acc += np.mean(np.abs(g[i] - g[j]))
+            exp_groups.append(acc * 2 / (3 * 2))
+        assert got == pytest.approx(np.mean(exp_groups), rel=1e-12)
+
+    def test_small_batch_uses_all(self):
+        rng = np.random.RandomState(1)
+        x = rng.randn(4, 2, 2)
+        got = M.diversity(x, batch=50)  # B < 50 -> one group of B
+        acc = 0.0
+        for i in range(4):
+            for j in range(i + 1, 4):
+                acc += np.mean(np.abs(x[i] - x[j]))
+        assert got == pytest.approx(acc * 2 / (4 * 3), rel=1e-12)
