@@ -91,11 +91,17 @@ def make_train_step(
     sched: DiffusionSchedule,
     mesh: Optional[Mesh] = None,
     vel_loss_active: bool = True,
+    inject_randoms: bool = False,
 ):
     """Build the jitted train step.
 
     Batch dict fields: ``motion`` (B,T,C), ``mel`` (B,T,A), ``pid`` (B,S),
     optional ``hubert`` (B,T,1024), optional ``sem`` (B,T).
+
+    ``inject_randoms`` changes the signature to ``step(state, batch, t,
+    noise)`` with caller-supplied timesteps and diffusion noise — used by the
+    reference-lockstep training-parity tests to run both frameworks on
+    identical randomness.
     """
     model = build_denoiser(cfg.model)
     tx = make_optimizer(cfg)
@@ -127,19 +133,24 @@ def make_train_step(
         per_sample = ((out - noise) ** 2).mean(axis=(1, 2))
         return terms.total, (terms, mutated["batch_stats"], per_sample)
 
-    def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array,
+                t_in: Optional[jax.Array] = None,
+                noise_in: Optional[jax.Array] = None,
                 ) -> Tuple[TrainState, LossTerms]:
         B = batch["motion"].shape[0]
         rng = jax.random.fold_in(rng, state.step)
         rng_t, rng_n, rng_drop = jax.random.split(rng, 3)
-        if use_loss_aware:
+        if t_in is not None:
+            t, t_weights = t_in, jnp.ones((B,))
+        elif use_loss_aware:
             from diffsheg_tpu.diffusion.timestep_sampler import (
                 sample_loss_aware)
             t, t_weights = sample_loss_aware(rng_t, B, state.t_state)
         else:
             t = jax.random.randint(rng_t, (B,), 0, sched.num_steps)
             t_weights = jnp.ones((B,))
-        noise = jax.random.normal(rng_n, batch["motion"].shape)
+        noise = (noise_in if noise_in is not None
+                 else jax.random.normal(rng_n, batch["motion"].shape))
 
         if mesh is not None:
             constraint = NamedSharding(mesh, P(mesh.axis_names[0]))
@@ -173,4 +184,9 @@ def make_train_step(
         )
         return new_state, terms
 
+    if inject_randoms:
+        def injected(state, batch, t, noise):
+            return step_fn(state, batch, jax.random.PRNGKey(0),
+                           t_in=t, noise_in=noise)
+        return jax.jit(injected, donate_argnums=(0,))
     return jax.jit(step_fn, donate_argnums=(0,))
