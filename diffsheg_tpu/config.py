@@ -53,6 +53,19 @@ class ModelConfig:
     #            set hubert_dim=768, hubert_latent_dim=256 for wav2vec2);
     # 'raw' = concatenate features unencoded
     speech_encoder: str = "conv"
+    # text / emotion conditioning hooks (--addTextCond/--addEmoCond,
+    # base_options.py:92-93).  NOTE: the reference *declares* these
+    # (transformer.py:519-527 uses self.text_encoder/self.emotion_embedding
+    # and budgets word_f/emotion_f dims at :409-412) but never constructs
+    # the modules, so the flags crash upstream; here they are completed per
+    # the layer-dim contract: per-frame int labels -> Embed (+ temporal conv
+    # tail for emotion) -> concatenated into the per-layer condition.
+    add_text_cond: bool = False
+    add_emo_cond: bool = False
+    word_f: int = 128            # text-condition width
+    emotion_f: int = 8           # emotion-condition width
+    word_vocab: int = 2048       # text vocabulary size
+    num_emotions: int = 8        # BEAT's emotion-category count
     # classifier-free guidance (base_options.py:106-108)
     classifier_free: bool = False
     null_cond_prob: float = 0.2

@@ -160,6 +160,12 @@ class BeatBuildConfig:
     audio_rep: str = "wave16k"
     facial_rep: str = "facial52"
     sem_rep: str = "sem"
+    # per-frame word-token / emotion-label arrays (<root>/<rep>/<id>.npy,
+    # int per frame).  The reference reserves cache slots for these
+    # (beat.py:161-162,348) but ships no loader; here precomputed int arrays
+    # are ingested when present, else the reference's [-1] sentinel is stored.
+    word_rep: str = "word"
+    emo_rep: str = "emo"
 
 
 def _mel_windows(audio_windows: np.ndarray, cfg: BeatBuildConfig,
@@ -245,6 +251,15 @@ def build_beat_cache(
                else np.zeros(pose.shape[0]))
         speaker = int(clip_id.split("_")[0]) - 1
 
+        def _labels(rep):
+            path = os.path.join(data_dir, rep, clip_id + ".npy")
+            if os.path.exists(path):
+                return np.load(path).astype(np.int32)
+            return None
+        word = _labels(cfg.word_rep)
+        emo = _labels(cfg.emo_rep)
+        sentinel = np.asarray([-1], dtype=np.int32)  # reference beat.py:348
+
         # clamp all modalities to the common whole-second duration
         # (beat.py:281-297)
         secs = min(pose.shape[0] // int(cfg.pose_fps),
@@ -263,6 +278,7 @@ def build_beat_cache(
         audio_len = int(length / cfg.pose_fps * cfg.audio_sr)
 
         pose_w, audio_w, facial_w, sem_w = [], [], [], []
+        word_w, emo_w = [], []
         for i in range(num_windows):
             s = i * stride
             w = pose[s:s + length]
@@ -275,6 +291,9 @@ def build_beat_cache(
             audio_w.append(audio[a_s:a_s + audio_len])
             facial_w.append(facial[s:s + length])
             sem_w.append(sem[s:s + length])
+            word_w.append(word[s:s + length] if word is not None
+                          else sentinel)
+            emo_w.append(emo[s:s + length] if emo is not None else sentinel)
         if not pose_w:
             continue
 
@@ -291,6 +310,8 @@ def build_beat_cache(
                 "facial": facial_w[i].astype(np.float32),
                 "sem": sem_w[i].astype(np.float32),
                 "id": np.asarray([speaker], dtype=np.int32),
+                "word": word_w[i],
+                "emo": emo_w[i],
             })
         log(f"[beat-cache] {clip_id}: {len(pose_w)} windows")
 
@@ -341,9 +362,9 @@ class BeatDataset:
         return out
 
     def batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        b = self.cache.batch(indices,
-                             ["pose", "pose_axis_angle", "mel", "facial",
-                              "sem", "id"])
+        keys = ["pose", "pose_axis_angle", "mel", "facial", "sem", "id"]
+        keys += [k for k in ("word", "emo") if k in self.cache.fields]
+        b = self.cache.batch(indices, keys)
         if self.remove_hand:
             b["pose_axis_angle"] = b["pose_axis_angle"][
                 ..., BEAT_HAND_FREE_CHANNELS]

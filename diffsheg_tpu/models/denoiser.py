@@ -92,16 +92,27 @@ class MotionDenoiser(nn.Module):
     null_cond_prob: float = 0.2
     cond_scale: float = 1.0
     dropout: float = 0.0
+    # text/emotion conditioning (see ModelConfig.add_text_cond notes)
+    word_f: int = 128
+    emotion_f: int = 8
+    word_vocab: int = 2048
+    num_emotions: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @property
     def time_embed_dim(self) -> int:
         return self.latent_dim * 4
 
-    def pre_proj_dim(self, has_hubert: bool, exp_cond_dim: int) -> int:
+    def pre_proj_dim(self, has_hubert: bool, exp_cond_dim: int,
+                     has_text: bool = False, has_emo: bool = False) -> int:
         d = self.latent_dim + self.aud_latent_dim + exp_cond_dim
         if has_hubert:
             d += self.hubert_latent_dim
+        # word_f/emotion_f budgeting, reference transformer.py:409-412
+        if has_text:
+            d += self.word_f
+        if has_emo:
+            d += self.emotion_f
         return d
 
     @nn.compact
@@ -113,6 +124,8 @@ class MotionDenoiser(nn.Module):
         person_id: jax.Array,
         hubert: Optional[jax.Array] = None,
         exp_cond: Optional[jax.Array] = None,
+        word: Optional[jax.Array] = None,   # (B, T) int token ids
+        emo: Optional[jax.Array] = None,    # (B, T) int emotion labels
         src_mask: Optional[jax.Array] = None,
         train: bool = False,
         cfg_inference: bool = False,
@@ -124,6 +137,9 @@ class MotionDenoiser(nn.Module):
             src_mask = jnp.ones((B, T, 1), dtype=compute)
 
         # --- encode extra conditions ------------------------------------
+        # concat order = the reference's add_cond dict insertion order
+        # (pretrain_aud_feat, text, emo; transformer.py:512-536) with
+        # exp_cond appended last
         cond_parts = []
         if hubert is not None:
             mode = self.speech_encoder if self.encode_hubert else "raw"
@@ -137,6 +153,20 @@ class MotionDenoiser(nn.Module):
                                   name="hubert_encoder")(
                     hubert.astype(compute))
             cond_parts.append(hubert)
+        if word is not None:
+            # text hook (transformer.py:519-521, completed — see config)
+            w = nn.Embed(self.word_vocab, self.word_f, dtype=compute,
+                         name="text_embed")(jnp.maximum(word, 0))
+            w = nn.Conv(self.word_f, (3,), padding="SAME", dtype=compute,
+                        name="text_tcn")(w)
+            cond_parts.append(w)
+        if emo is not None:
+            # emotion hook (transformer.py:523-527: embedding + conv tail)
+            e = nn.Embed(self.num_emotions, self.emotion_f, dtype=compute,
+                         name="emotion_embed")(jnp.maximum(emo, 0))
+            e = nn.Conv(self.emotion_f, (3,), padding="SAME", dtype=compute,
+                        name="emotion_tail")(e)
+            cond_parts.append(e)
         if exp_cond is not None:
             cond_parts.append(exp_cond.astype(compute))
 
@@ -162,7 +192,8 @@ class MotionDenoiser(nn.Module):
             null_cond_emb = self.param(
                 "null_cond_emb",
                 nn.initializers.normal(1.0),
-                (1, self.pre_proj_dim(hubert is not None, exp_cond_dim)),
+                (1, self.pre_proj_dim(hubert is not None, exp_cond_dim,
+                                      word is not None, emo is not None)),
             )
 
         # --- embeddings --------------------------------------------------

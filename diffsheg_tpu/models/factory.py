@@ -59,6 +59,8 @@ class SingleBranchDenoiser(nn.Module):
         person_id: jax.Array,
         hubert: Optional[jax.Array] = None,
         exp_cond: Optional[jax.Array] = None,
+        word: Optional[jax.Array] = None,
+        emo: Optional[jax.Array] = None,
         train: bool = False,
         cfg_inference: bool = False,
     ) -> jax.Array:
@@ -86,6 +88,8 @@ class SingleBranchDenoiser(nn.Module):
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
             dropout=c.dropout,
+            word_f=c.word_f, emotion_f=c.emotion_f,
+            word_vocab=c.word_vocab, num_emotions=c.num_emotions,
             dtype=jnp.dtype(c.compute_dtype),
             name="encoder",
         )
@@ -93,6 +97,8 @@ class SingleBranchDenoiser(nn.Module):
             x.astype(jnp.dtype(c.compute_dtype)), t, audio_mel, person_id,
             hubert=hubert,
             exp_cond=exp_cond if mode == "exp_condition_gesture" else None,
+            word=word if c.add_text_cond else None,
+            emo=emo if c.add_emo_cond else None,
             train=train, cfg_inference=cfg_inference,
         )
 
@@ -131,6 +137,10 @@ def init_denoiser(cfg: ModelConfig, n_poses: int, rng: jax.Array,
     kw = {}
     if cfg.branch_mode == "exp_condition_gesture":
         kw["exp_cond"] = jnp.zeros((batch, n_poses, cfg.expression_dim))
+    if cfg.add_text_cond:
+        kw["word"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
+    if cfg.add_emo_cond:
+        kw["emo"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
     variables = model.init(rng, x, t, sa, mel, pid, hubert=hub, train=False,
                            **kw)
     return model, variables

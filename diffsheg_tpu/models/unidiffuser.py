@@ -43,6 +43,8 @@ class UniDiffuser(nn.Module):
         audio_mel: jax.Array,               # (B, T, audio_dim)
         person_id: jax.Array,               # (B, style_dim)
         hubert: Optional[jax.Array] = None, # (B, T, hubert_dim)
+        word: Optional[jax.Array] = None,   # (B, T) int token ids
+        emo: Optional[jax.Array] = None,    # (B, T) int emotion labels
         train: bool = False,
         cfg_inference: bool = False,
     ) -> jax.Array:
@@ -83,8 +85,12 @@ class UniDiffuser(nn.Module):
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
             dropout=c.dropout,
+            word_f=c.word_f, emotion_f=c.emotion_f,
+            word_vocab=c.word_vocab, num_emotions=c.num_emotions,
             dtype=dtype,
         )
+        text_kw = dict(word=word if c.add_text_cond else None,
+                       emo=emo if c.add_emo_cond else None)
 
         # 2. expression branch.
         exp_eps = MotionDenoiser(
@@ -95,6 +101,7 @@ class UniDiffuser(nn.Module):
         )(
             expression, t, audio_emb, person_id,
             hubert=hubert, train=train, cfg_inference=cfg_inference,
+            **text_kw,
         )
 
         # 3. x0 bridge: eps -> x0 at the current noise level, detached
@@ -112,6 +119,7 @@ class UniDiffuser(nn.Module):
             gesture, t, audio_emb, person_id,
             hubert=hubert, exp_cond=expr_x0,
             train=train, cfg_inference=cfg_inference,
+            **text_kw,
         )
 
         return jnp.concatenate([ges_eps, exp_eps], axis=-1)
@@ -128,5 +136,11 @@ def init_unidiffuser(
     mel = jnp.zeros((batch, n_poses, cfg.audio_dim))
     pid = jnp.zeros((batch, cfg.style_dim))
     hub = jnp.zeros((batch, n_poses, cfg.hubert_dim)) if cfg.add_hubert else None
-    variables = model.init(rng, x, t, sa, mel, pid, hubert=hub, train=False)
+    kw = {}
+    if cfg.add_text_cond:
+        kw["word"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
+    if cfg.add_emo_cond:
+        kw["emo"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
+    variables = model.init(rng, x, t, sa, mel, pid, hubert=hub, train=False,
+                           **kw)
     return model, variables

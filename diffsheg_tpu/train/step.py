@@ -118,6 +118,10 @@ def make_train_step(
         extra = {}
         if cfg.model.branch_mode == "exp_condition_gesture":
             extra["exp_cond"] = batch["exp_cond"]
+        if cfg.model.add_text_cond:
+            extra["word"] = batch["word"]
+        if cfg.model.add_emo_cond:
+            extra["emo"] = batch["emo"]
         out, mutated = model.apply(
             variables, x_t, t, (sr, srm1), mel, pid,
             hubert=batch.get("hubert"), train=True, mutable=["batch_stats"],

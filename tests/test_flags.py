@@ -349,3 +349,107 @@ class TestDropout:
         }
         state, terms = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(terms.total))
+
+
+class TestWordEmoConditioning:
+    """Cache slots + conditioning hooks for --addTextCond/--addEmoCond
+    (reference base_options.py:92-93, datasets/beat.py:161-162,348).  The
+    reference declares but never constructs the encoders
+    (transformer.py:519-527); here they are completed per the word_f /
+    emotion_f layer-dim contract."""
+
+    def test_cache_sentinel_and_real_labels(self, tmp_path):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_data import _write_toy_beat_split
+
+        from diffsheg_tpu.data.beat import (BeatBuildConfig, BeatDataset,
+                                            BeatStats, build_beat_cache)
+
+        T = _write_toy_beat_split(tmp_path)
+        # per-frame labels for one clip only: the other falls back to [-1]
+        os.makedirs(tmp_path / "word", exist_ok=True)
+        os.makedirs(tmp_path / "emo", exist_ok=True)
+        rng = np.random.RandomState(0)
+        np.save(tmp_path / "word" / "2_speaker_0_1_1.npy",
+                rng.randint(0, 100, T).astype(np.int32))
+        np.save(tmp_path / "emo" / "2_speaker_0_1_1.npy",
+                rng.randint(0, 8, T).astype(np.int32))
+
+        stats = BeatStats(
+            mean_pose=np.zeros(141), std_pose=np.ones(141),
+            mean_axis_angle=np.zeros(141), std_axis_angle=np.ones(141),
+            mean_facial=np.zeros(51), std_facial=np.ones(51))
+        build_beat_cache(str(tmp_path), str(tmp_path / "cache"), stats,
+                         BeatBuildConfig(n_poses=34, stride=10),
+                         log=lambda *a: None)
+        ds = BeatDataset(str(tmp_path / "cache"), stats)
+        labelled = [s for s in (ds[i] for i in range(len(ds)))
+                    if s["word"].shape == (34,)]
+        sentinel = [s for s in (ds[i] for i in range(len(ds)))
+                    if s["word"].shape == (1,)]
+        assert labelled and sentinel
+        assert sentinel[0]["word"][0] == -1      # reference beat.py:348
+        assert sentinel[0]["emo"][0] == -1
+        assert labelled[0]["emo"].shape == (34,)
+        assert labelled[0]["word"].dtype == np.int32
+
+    def test_model_conditioning_hooks(self):
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+
+        cfg = beat_config().model
+        cfg = dataclasses.replace(
+            cfg, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False, add_text_cond=True, add_emo_cond=True,
+            word_f=12, emotion_f=6, word_vocab=100, num_emotions=8)
+        model, variables = init_unidiffuser(cfg, 8, jax.random.PRNGKey(0))
+        flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+        names = {jax.tree_util.keystr(p) for p, _ in flat}
+        assert any("text_embed" in n for n in names)
+        assert any("emotion_embed" in n for n in names)
+
+        B, T = 2, 8
+        args = (
+            jnp.ones((B, T, cfg.motion_dim)) * 0.3,
+            jnp.array([5, 9]),
+            (jnp.ones((B, 1, 1)), jnp.ones((B, 1, 1))),
+            jnp.ones((B, T, cfg.audio_dim)),
+            jax.nn.one_hot(jnp.array([1, 2]), cfg.style_dim),
+        )
+        word = jnp.zeros((B, T), jnp.int32)
+        emo = jnp.zeros((B, T), jnp.int32)
+        o1 = model.apply(variables, *args, word=word, emo=emo, train=False)
+        assert o1.shape == (B, T, cfg.motion_dim)
+        # the labels must actually condition the output
+        o2 = model.apply(variables, *args, word=word + 7, emo=emo + 3,
+                         train=False)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_train_step_with_word_emo(self):
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        from diffsheg_tpu.train.step import (create_train_state,
+                                             make_train_step)
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+            add_hubert=False, add_text_cond=True, add_emo_cond=True,
+            word_f=12, emotion_f=6, word_vocab=100))
+        _, variables = init_unidiffuser(cfg.model, 8, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 1000))
+        step = make_train_step(cfg, sched)
+        state = create_train_state(cfg, variables)
+        B, T = 4, 8
+        batch = {
+            "motion": jnp.ones((B, T, cfg.model.motion_dim)) * 0.1,
+            "mel": jnp.ones((B, T, 128)),
+            "pid": jax.nn.one_hot(jnp.zeros(B, jnp.int32),
+                                  cfg.model.style_dim),
+            "sem": jnp.ones((B, T)) * 0.5,
+            "word": jnp.zeros((B, T), jnp.int32),
+            "emo": jnp.zeros((B, T), jnp.int32),
+        }
+        state, terms = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(terms.total))
