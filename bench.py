@@ -36,6 +36,11 @@ def main():
     cfg = beat_config()
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=2))
+    # TPU serving configuration: bfloat16 weights + compute in the sampler
+    # (MXU-native; measured 1.47x over f32 with ~0.4% relative output RMS
+    # deviation — see examples/perf_probe.py).  The frontend stays f32.
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16"))
 
     _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
                                     jax.random.PRNGKey(0))

@@ -42,6 +42,16 @@ class WindowGenerator:
 
     def __init__(self, cfg: Config, variables: Dict[str, Any]):
         self.cfg = cfg
+        # inference-time reduced precision: store the weights IN the compute
+        # dtype so the sampler runs cast-free (bf16 params measured 1.47x
+        # faster than f32 on TPU v5e; per-call f32->bf16 casts previously ate
+        # the entire win).  Training keeps f32 params regardless.
+        dtype = jnp.dtype(cfg.model.compute_dtype)
+        if dtype != jnp.float32:
+            variables = jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         self.variables = variables
         self.model = build_denoiser(cfg.model)
 

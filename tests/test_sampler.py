@@ -290,3 +290,41 @@ class TestFusedSameOverlapNoisy:
         on = np.asarray(stream.generate_fused(mel, pid, rng))
         off = np.asarray(stream_off.generate_fused(mel, pid, rng))
         assert not np.allclose(on, off)
+
+
+class TestBf16Serving:
+    def test_bf16_generator_tracks_f32(self):
+        """compute_dtype=bfloat16 casts the weights once at generator build;
+        outputs must track the f32 path closely (serving config)."""
+        import dataclasses
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+        from diffsheg_tpu.sampling.generator import WindowGenerator
+        from diffsheg_tpu.sampling.streamer import StreamingGenerator
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=False))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+        B, T = 1, 60
+        mel = jax.random.normal(jax.random.PRNGKey(1), (B, T, 128))
+        pid = jax.nn.one_hot(jnp.array([2]), 30)
+
+        f32 = np.asarray(StreamingGenerator(WindowGenerator(cfg, variables))
+                         .generate(mel, pid, jax.random.PRNGKey(3)))
+
+        cfg16 = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=False, compute_dtype="bfloat16"))
+        gen16 = WindowGenerator(cfg16, variables)
+        # the generator cast the params itself
+        leaf = jax.tree.leaves(gen16.variables)[0]
+        assert leaf.dtype == jnp.bfloat16
+        bf16 = np.asarray(StreamingGenerator(gen16)
+                          .generate(mel, pid, jax.random.PRNGKey(3))
+                          .astype(jnp.float32))
+        assert np.isfinite(bf16).all()
+        rel = np.sqrt(((bf16 - f32) ** 2).mean()) / max(f32.std(), 1e-6)
+        assert rel < 0.05, rel
