@@ -137,9 +137,17 @@ def supports_pallas() -> bool:
 def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      num_heads: int,
                      use_fused: Optional[bool] = None) -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, jnp composition elsewhere."""
+    """Dispatch: Pallas kernel for f32 on TPU, jnp composition elsewhere.
+
+    Measured on TPU v5e (examples/perf_probe.py): the fused kernel wins for
+    float32 activations (+8% single-stream, +45% at B=8 — it removes the
+    HBM roundtrips between the softmaxes and the contractions), but it
+    upcasts to f32 internally, which forfeits the native-bf16 MXU path; for
+    bfloat16 activations XLA's bf16 einsums tie at B=1 and win ~25-40% at
+    large batch, so bf16 dispatches to the composition.
+    """
     if use_fused is None:
-        use_fused = supports_pallas()
+        use_fused = supports_pallas() and q.dtype == jnp.float32
     if use_fused:
         return fused_linear_attention(q, k, v, num_heads)
     return linear_attention_reference(q, k, v, num_heads)
