@@ -49,7 +49,14 @@ def linear_resample(x: jax.Array, new_len: int) -> jax.Array:
 
 
 class HubertFeatureExtractor:
-    """Chunked long-audio HuBERT driver around a jitted encoder."""
+    """Chunked long-audio HuBERT driver.
+
+    The entire pipeline — waveform normalization, static chunk slicing and
+    padding, the batched encoder, de-chunk stitching, analytic pad/trim, and
+    the motion-rate resample — compiles to ONE jit per (num_samples,
+    target_frames) signature.  Host-side per-op dispatch would otherwise
+    dominate the cost on a remote-device setup (each unjitted jnp op is a
+    round-trip)."""
 
     def __init__(self, cfg: Optional[HubertConfig] = None, variables=None,
                  rng: Optional[jax.Array] = None):
@@ -59,9 +66,52 @@ class HubertFeatureExtractor:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             variables = self.model.init(rng, jnp.zeros((1, KERNEL * 4)))
         self.variables = variables
-        self._encode = jax.jit(
-            lambda v, x: self.model.apply(v, x)
-        )
+        self._fns = {}
+
+    def _build(self, n: int, target_frames: Optional[int]):
+        """Compile the full extraction program for a fixed sample count."""
+        exp_t = expected_frames(n)
+        num_full = n // CLIP_SAMPLES
+        # static chunk plan: (start, length, valid_frames) per chunk
+        plan = []
+        for i in range(num_full):
+            start = CLIP_SAMPLES * i
+            length = min(CHUNK_SAMPLES, n - start)
+            plan.append((start, length))
+        rest_start = CLIP_SAMPLES * num_full
+        if n - rest_start >= KERNEL:
+            plan.append((rest_start, n - rest_start))
+        if not plan:  # audio shorter than one kernel: no frames
+            return None
+
+        valid_frames = [(L - KERNEL) // STRIDE + 1 for _, L in plan]
+
+        def fn(variables, audio):
+            audio = normalize_waveform(audio)
+            rows = []
+            for start, length in plan:
+                ch = jax.lax.slice_in_dim(audio, start, start + length,
+                                          axis=1)
+                if length < CHUNK_SAMPLES:
+                    ch = jnp.pad(ch, ((0, 0), (0, CHUNK_SAMPLES - length)))
+                rows.append(ch)
+            batchd = jnp.concatenate(rows, axis=0)
+            feats = self.model.apply(variables, batchd)  # (chunks, F, 1024)
+            parts = [feats[i, :vf] for i, vf in enumerate(valid_frames)]
+            seq = jnp.concatenate(parts, axis=0)[None]  # (1, T', 1024)
+
+            # pad/trim to the analytic frame count
+            # (ddpm_beat_trainer.py:1470-1474)
+            T = seq.shape[1]
+            if T < exp_t:
+                seq = jnp.pad(seq, ((0, 0), (0, exp_t - T), (0, 0)))
+            else:
+                seq = seq[:, :exp_t]
+            if target_frames is not None:
+                seq = linear_resample(seq, target_frames)
+            return seq
+
+        return jax.jit(fn)
 
     def __call__(self, audio_16k: jax.Array,
                  target_frames: Optional[int] = None) -> jax.Array:
@@ -71,46 +121,11 @@ class HubertFeatureExtractor:
         """
         if audio_16k.ndim == 1:
             audio_16k = audio_16k[None]
-        audio_16k = normalize_waveform(audio_16k)
-        n = audio_16k.shape[1]
-        exp_t = expected_frames(n)
-
-        num_full = n // CLIP_SAMPLES
-        chunks = []
-        for i in range(num_full):
-            start = CLIP_SAMPLES * i
-            chunks.append(jax.lax.dynamic_slice_in_dim(
-                audio_16k, start, CHUNK_SAMPLES
-                if start + CHUNK_SAMPLES <= n else n - start, axis=1))
-        rest_start = CLIP_SAMPLES * num_full
-        rest = audio_16k[:, rest_start:]
-        if rest.shape[1] >= KERNEL:
-            chunks.append(rest)
-        if not chunks:  # audio shorter than one kernel: no frames
+        n = int(audio_16k.shape[1])
+        key = (n, target_frames)
+        if key not in self._fns:
+            self._fns[key] = self._build(n, target_frames)
+        fn = self._fns[key]
+        if fn is None:
             return jnp.zeros((1, target_frames or 0, self.cfg.hidden_size))
-
-        # static-shape batch: right-pad every chunk to CHUNK_SAMPLES
-        padded = []
-        valid_frames = []
-        for ch in chunks:
-            L = ch.shape[1]
-            valid_frames.append((L - KERNEL) // STRIDE + 1)
-            if L < CHUNK_SAMPLES:
-                ch = jnp.pad(ch, ((0, 0), (0, CHUNK_SAMPLES - L)))
-            padded.append(ch)
-        batchd = jnp.concatenate(padded, axis=0)  # (num_chunks, CHUNK_SAMPLES)
-        feats = self._encode(self.variables, batchd)  # (num_chunks, F, 1024)
-
-        parts = [feats[i, :vf] for i, vf in enumerate(valid_frames)]
-        seq = jnp.concatenate(parts, axis=0)[None]  # (1, T', 1024)
-
-        # pad/trim to the analytic frame count (ddpm_beat_trainer.py:1470-1474)
-        T = seq.shape[1]
-        if T < exp_t:
-            seq = jnp.pad(seq, ((0, 0), (0, exp_t - T), (0, 0)))
-        else:
-            seq = seq[:, :exp_t]
-
-        if target_frames is not None:
-            seq = linear_resample(seq, target_frames)
-        return seq
+        return fn(self.variables, audio_16k)
