@@ -139,34 +139,15 @@ class CustomAudioPipeline:
                     template_bvh: Optional[str] = None) -> List[str]:
         """De-normalize, convert to euler degrees, write BVH + face JSON
         (reference ddpm_beat_trainer.py:1322-1341)."""
-        from diffsheg_tpu.geometry.face import write_face_json
-
-        aa_to_euler = self._aa_to_euler
+        from diffsheg_tpu.sampling.export import BeatMotionExporter
 
         assert self.motion_mean is not None, "need dataset stats for export"
-        os.makedirs(out_dir, exist_ok=True)
-        pose_dim = self.cfg.model.pose_dim
+        exporter = BeatMotionExporter(
+            self.cfg.model.pose_dim, self.cfg.data.fps,
+            self.motion_mean, self.motion_std, template_bvh)
         written: List[str] = []
         for b in range(motion.shape[0]):
-            denorm = motion[b] * self.motion_std + self.motion_mean
-            pose_aa, facial = denorm[:, :pose_dim], denorm[:, pose_dim:]
-            T = pose_aa.shape[0]
-            eul = np.asarray(aa_to_euler(
-                jnp.asarray(pose_aa.reshape(T, pose_dim // 3, 3),
-                            dtype=jnp.float32)))
-            eul_deg = np.rad2deg(eul).reshape(T, pose_dim)
-
-            npy_path = os.path.join(out_dir, f"{name}_{b}.npy")
-            np.save(npy_path, denorm)
-            written.append(npy_path)
-            if template_bvh and os.path.exists(template_bvh):
-                from diffsheg_tpu.geometry.bvh import rewrite_template_file
-                bvh_path = os.path.join(out_dir, f"{name}_{b}.bvh")
-                rewrite_template_file(template_bvh, eul_deg, bvh_path)
-                written.append(bvh_path)
-            face_path = os.path.join(out_dir, f"{name}_{b}_face.json")
-            write_face_json(facial, face_path, fps=self.cfg.data.fps)
-            written.append(face_path)
+            written += exporter.export(motion[b], out_dir, f"{name}_{b}")
         return written
 
     def export_show(self, motion: np.ndarray, out_dir: str, name: str,

@@ -277,11 +277,20 @@ def cmd_test_stream(args) -> int:
     cfg = _base_config(args)
     ds = _open_dataset(args, cfg, args.test_cache)
     variables = _load_variables(cfg, args.checkpoint)
+    exporter = None
+    if args.dataset == "beat" and args.stats_dir:
+        from diffsheg_tpu.sampling.export import BeatMotionExporter
+        st = _load_stats(args)
+        exporter = BeatMotionExporter(
+            cfg.model.pose_dim, cfg.data.fps,
+            st.motion_mean, st.motion_std,
+            template_bvh=args.template_bvh)
     metrics = generate_testset(cfg, variables, ds, args.out_dir,
                                jax.random.PRNGKey(args.seed),
                                fgd_variables=_load_fgd_variables(args, cfg),
                                max_clips=args.max_clips,
-                               output_gt=args.output_gt)
+                               output_gt=args.output_gt,
+                               exporter=exporter)
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -363,6 +372,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output-gt", action="store_true",
                     help="write ground truth instead of generating "
                          "(reference --output_gt)")
+    sp.add_argument("--template-bvh",
+                    help="full-skeleton vis template; with --stats-dir, "
+                         "per-clip BVH + face JSON are exported like the "
+                         "reference's test result writing")
     sp.set_defaults(fn=cmd_test_stream)
     return p
 

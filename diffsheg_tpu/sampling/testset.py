@@ -31,6 +31,7 @@ def generate_testset(
     fgd_variables=None,
     max_clips: int = 0,
     output_gt: bool = False,
+    exporter=None,
     log=print,
 ) -> Dict[str, float]:
     """Run streaming generation over every test clip; returns metrics.
@@ -39,6 +40,12 @@ def generate_testset(
     into an ``_GT``-suffixed directory (reference --output_gt,
     base_options.py:119, ddpm_beat_trainer.py:711,789) — the GT baseline
     for external evaluation.
+
+    ``exporter`` (a :class:`diffsheg_tpu.sampling.export.BeatMotionExporter`)
+    additionally writes the denormalized npy + vis-template BVH + face JSON
+    per clip, like the reference's result writing at
+    ddpm_beat_trainer.py:1044-1089; without it, the normalized model output
+    is saved as npy.
     """
     from diffsheg_tpu.eval.metrics import (frechet_from_activations,
                                            mse_pck_channels)
@@ -85,7 +92,10 @@ def generate_testset(
             out = gt[:T]
         else:
             out = np.asarray(gen.generate(mel, pid, k, hubert=hubert))[0]
-        np.save(os.path.join(out_dir, f"clip_{i:05d}.npy"), out)
+        if exporter is not None:
+            exporter.export(out, out_dir, f"clip_{i:05d}")
+        else:
+            np.save(os.path.join(out_dir, f"clip_{i:05d}.npy"), out)
         total_frames += T
 
         # windowed metrics over the common length
