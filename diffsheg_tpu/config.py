@@ -118,6 +118,13 @@ class DiffusionConfig:
     scan_unroll: int = 1   # lax.scan unroll factor for the sampler loop
                            # (>1 trades compile time for fewer loop-carried
                            # dispatch boundaries)
+    level_cache: bool = True  # precompute all x-independent conditioning
+                              # (time/pid embeddings, audio encoder,
+                              # stylization modulations) once per window for
+                              # every timestep level instead of once per
+                              # denoise step — ~60% less HBM weight traffic
+                              # in the sampler scan (models/level_cache.py);
+                              # numerically identical, sampling-only
 
 
 @dataclass(frozen=True)

@@ -52,8 +52,8 @@ class LinearTemporalSelfAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, src_mask: jax.Array,
-                 train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb, src_mask: jax.Array,
+                 train: bool = False, mod=None) -> jax.Array:
         from diffsheg_tpu.models.blocks import StylizationBlock  # circular-safe
         from diffsheg_tpu.ops.linear_attention import linear_attention
 
@@ -72,5 +72,5 @@ class LinearTemporalSelfAttention(nn.Module):
                              use_fused=self.use_fused)
         y = StylizationBlock(self.latent_dim, dtype=self.dtype,
                              dropout=self.dropout, name="proj_out"
-                             )(y, emb, train=train)
+                             )(y, emb, train=train, mod=mod)
         return x + y

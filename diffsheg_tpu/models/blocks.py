@@ -47,12 +47,17 @@ class StylizationBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, h: jax.Array, emb: jax.Array,
-                 train: bool = False) -> jax.Array:
-        # emb: (B, E) -> (B, 1, 2*latent)
-        mod = nn.Dense(2 * self.latent_dim, dtype=self.dtype, name="emb_proj")(
-            nn.silu(emb)
-        )[:, None, :]
+    def __call__(self, h: jax.Array, emb: Optional[jax.Array],
+                 train: bool = False,
+                 mod: Optional[jax.Array] = None) -> jax.Array:
+        # emb: (B, E) -> (B, 1, 2*latent); a precomputed ``mod`` (B, 2*latent)
+        # from the timestep-level cache (models/level_cache.py) skips the
+        # emb_proj matmul — its weights are then read once per window, not
+        # once per denoise step.
+        if mod is None:
+            mod = nn.Dense(2 * self.latent_dim, dtype=self.dtype,
+                           name="emb_proj")(nn.silu(emb))
+        mod = mod[:, None, :]
         scale, shift = jnp.split(mod, 2, axis=-1)
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(h)
         h = h * (1.0 + scale) + shift
@@ -78,8 +83,9 @@ class FFN(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array,
-                 train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, emb: Optional[jax.Array],
+                 train: bool = False,
+                 mod: Optional[jax.Array] = None) -> jax.Array:
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(x)
         # linear2(dropout(gelu(linear1(x)))) (transformer.py:179)
         y = nn.Dropout(self.dropout)(gelu_exact(y), deterministic=not train)
@@ -92,7 +98,7 @@ class FFN(nn.Module):
         )(y)
         y = StylizationBlock(self.latent_dim, dtype=self.dtype,
                              dropout=self.dropout, name="proj_out"
-                             )(y, emb, train=train)
+                             )(y, emb, train=train, mod=mod)
         return x + y
 
 
@@ -137,11 +143,12 @@ class DiffusionTransformerLayer(nn.Module):
         self,
         x: jax.Array,                     # (B, T, L)
         cond: Optional[jax.Array],        # (B, T, C_cond) or None
-        emb: jax.Array,                   # (B, E) time(+style) embedding
+        emb: Optional[jax.Array],         # (B, E) time(+style) embedding
         src_mask: jax.Array,              # (B, T, 1)
         null_cond_mask: Optional[jax.Array] = None,  # (B,) bool: use null cond
         null_cond_emb: Optional[jax.Array] = None,   # (1, L + C_cond)
         train: bool = False,
+        mods: Optional[jax.Array] = None,  # (2, B, 2*latent) level-cache mods
     ) -> jax.Array:
         if cond is not None:
             x_ori = x
@@ -165,7 +172,9 @@ class DiffusionTransformerLayer(nn.Module):
         x = LinearTemporalSelfAttention(
             self.latent_dim, self.num_heads, dtype=self.dtype,
             dropout=self.dropout, name="sa_block"
-        )(x, emb, src_mask, train=train)
+        )(x, emb, src_mask, train=train,
+          mod=None if mods is None else mods[0])
         x = FFN(self.latent_dim, self.ffn_dim, dtype=self.dtype,
-                dropout=self.dropout, name="ffn")(x, emb, train=train)
+                dropout=self.dropout, name="ffn")(
+            x, emb, train=train, mod=None if mods is None else mods[1])
         return x

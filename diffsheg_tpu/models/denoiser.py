@@ -129,6 +129,7 @@ class MotionDenoiser(nn.Module):
         src_mask: Optional[jax.Array] = None,
         train: bool = False,
         cfg_inference: bool = False,
+        cache=None,  # Optional[level_cache.BranchCache] — sampling fast path
     ) -> jax.Array:
         B, T, _ = x.shape
         compute = self.dtype
@@ -141,7 +142,16 @@ class MotionDenoiser(nn.Module):
         # (pretrain_aud_feat, text, emo; transformer.py:512-536) with
         # exp_cond appended last
         cond_parts = []
-        if hubert is not None:
+        if cache is not None:
+            # precomputed per-level conditioning (models/level_cache.py):
+            # hubert/word/emo encoders, time/pid embeddings and all
+            # stylization modulations were hoisted out of the sampler scan
+            assert word is None and emo is None, \
+                "level cache does not cover text/emo conditioning"
+            if cache.hubert_lat is not None:
+                cond_parts.append(cache.hubert_lat)
+            hubert = None
+        elif hubert is not None:
             mode = self.speech_encoder if self.encode_hubert else "raw"
             if mode == "conv":
                 hubert = HubertConvEncoder(
@@ -179,31 +189,38 @@ class MotionDenoiser(nn.Module):
         if do_cfg:
             x = jnp.concatenate([x, x], axis=0)
             t = jnp.concatenate([t, t], axis=0)
-            audio = jnp.concatenate([audio, audio], axis=0)
+            audio = jnp.concatenate([audio, audio], axis=0) \
+                if cache is None else audio
             person_id = jnp.concatenate([person_id, person_id], axis=0)
             src_mask = jnp.concatenate([src_mask, src_mask], axis=0)
             cond_parts = [jnp.concatenate([c, c], axis=0) for c in cond_parts]
             # First half unconditional (transformer.py:331: linspace(0,1,2B)<0.5).
             null_cond_mask = jnp.linspace(0.0, 1.0, 2 * B) < 0.5
 
+        has_hubert = hubert is not None or (
+            cache is not None and cache.hubert_lat is not None)
         null_cond_emb = None
         if self.classifier_free:
             exp_cond_dim = 0 if exp_cond is None else exp_cond.shape[-1]
             null_cond_emb = self.param(
                 "null_cond_emb",
                 nn.initializers.normal(1.0),
-                (1, self.pre_proj_dim(hubert is not None, exp_cond_dim,
+                (1, self.pre_proj_dim(has_hubert, exp_cond_dim,
                                       word is not None, emo is not None)),
             )
 
         # --- embeddings --------------------------------------------------
-        emb = TimeEmbedMLP(self.time_embed_dim, dtype=compute, name="time_embed")(
-            timestep_embedding(t, self.latent_dim).astype(compute)
-        )
-        if self.use_pid_embed:
-            emb = emb + TimeEmbedMLP(
-                self.time_embed_dim, dtype=compute, name="pid_embed"
-            )(person_id.astype(compute))
+        if cache is not None:
+            emb = None  # all stylization mods come precomputed
+        else:
+            emb = TimeEmbedMLP(self.time_embed_dim, dtype=compute,
+                               name="time_embed")(
+                timestep_embedding(t, self.latent_dim).astype(compute)
+            )
+            if self.use_pid_embed:
+                emb = emb + TimeEmbedMLP(
+                    self.time_embed_dim, dtype=compute, name="pid_embed"
+                )(person_id.astype(compute))
 
         h = nn.Dense(self.latent_dim, dtype=compute, name="joint_embed")(
             x.astype(compute)
@@ -226,9 +243,15 @@ class MotionDenoiser(nn.Module):
                 # applied with dropout=True at :573-574)
                 h = nn.Dropout(0.1)(h, deterministic=not train)
 
-        audio_lat = nn.Dense(self.aud_latent_dim, dtype=compute, name="audio_proj")(
-            audio.astype(compute)
-        )
+        if cache is not None:
+            audio_lat, mods = cache.audio_lat, cache.mods
+            if do_cfg:
+                audio_lat = jnp.concatenate([audio_lat, audio_lat], axis=0)
+                mods = jnp.concatenate([mods, mods], axis=2)  # batch axis
+        else:
+            audio_lat = nn.Dense(self.aud_latent_dim, dtype=compute,
+                                 name="audio_proj")(audio.astype(compute))
+            mods = None
         cond = jnp.concatenate([audio_lat] + cond_parts, axis=-1)
 
         # --- transformer stack -------------------------------------------
@@ -241,7 +264,7 @@ class MotionDenoiser(nn.Module):
                 dropout=self.dropout,
                 name=f"layer_{i}",
             )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb,
-              train=train)
+              train=train, mods=None if mods is None else mods[i])
 
         out = nn.Dense(self.input_feats, dtype=compute, name="out")(h)
         out = out.astype(jnp.float32)

@@ -107,12 +107,13 @@ def ablate_inputs(cfg: ModelConfig, mel: jax.Array, pid: jax.Array):
     """Input-level ablations (reference --remove_audio / --remove_style
     zero the respective conditioning; --use_single_style forces speaker 0,
     ddpm_beat_trainer.py:137-139)."""
-    if cfg.remove_audio:
+    if cfg.remove_audio and mel is not None:
         mel = jnp.zeros_like(mel)
-    if cfg.use_single_style:
-        pid = jnp.zeros_like(pid).at[..., 0].set(1.0)
-    if cfg.remove_style or cfg.no_style:
-        pid = jnp.zeros_like(pid)
+    if pid is not None:
+        if cfg.use_single_style:
+            pid = jnp.zeros_like(pid).at[..., 0].set(1.0)
+        if cfg.remove_style or cfg.no_style:
+            pid = jnp.zeros_like(pid)
     return mel, pid
 
 

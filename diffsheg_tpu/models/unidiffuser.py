@@ -47,24 +47,33 @@ class UniDiffuser(nn.Module):
         emo: Optional[jax.Array] = None,    # (B, T) int emotion labels
         train: bool = False,
         cfg_inference: bool = False,
+        cache=None,  # Optional[level_cache.ModelCache] — sampling fast path
     ) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.compute_dtype)
         B, T, _ = x.shape
 
-        # Top-level time embedding drives the audio encoder's stylization
-        # blocks (transformer.py:623-627, :730).
-        emb = TimeEmbedMLP(c.time_embed_dim, dtype=dtype, name="time_embed")(
-            timestep_embedding(t, c.latent_dim).astype(dtype)
-        )
-        src_mask = jnp.ones((B, T, 1), dtype=dtype)
+        if cache is None:
+            # Top-level time embedding drives the audio encoder's stylization
+            # blocks (transformer.py:623-627, :730).
+            emb = TimeEmbedMLP(c.time_embed_dim, dtype=dtype,
+                               name="time_embed")(
+                timestep_embedding(t, c.latent_dim).astype(dtype)
+            )
+            src_mask = jnp.ones((B, T, 1), dtype=dtype)
 
-        # 1. audio encoder: one layer at latent = audio_dim, no condition.
-        audio_feat = DiffusionTransformerLayer(
-            c.audio_dim, c.ff_size, c.num_heads, dtype=dtype,
-            dropout=c.dropout, name="encoder_aud"
-        )(audio_mel.astype(dtype), None, emb, src_mask, train=train)
-        audio_emb = jnp.concatenate([audio_mel.astype(dtype), audio_feat], axis=-1)
+            # 1. audio encoder: one layer at latent = audio_dim, no condition.
+            audio_feat = DiffusionTransformerLayer(
+                c.audio_dim, c.ff_size, c.num_heads, dtype=dtype,
+                dropout=c.dropout, name="encoder_aud"
+            )(audio_mel.astype(dtype), None, emb, src_mask, train=train)
+            audio_emb = jnp.concatenate(
+                [audio_mel.astype(dtype), audio_feat], axis=-1)
+        else:
+            # audio encoder + all per-level embeddings were precomputed for
+            # every timestep level (models/level_cache.py); the branches read
+            # their projections straight from the cache.
+            audio_emb = None
 
         gesture, expression = jnp.split(x, [c.pose_dim], axis=-1)
 
@@ -101,6 +110,7 @@ class UniDiffuser(nn.Module):
         )(
             expression, t, audio_emb, person_id,
             hubert=hubert, train=train, cfg_inference=cfg_inference,
+            cache=None if cache is None else cache.exp,
             **text_kw,
         )
 
@@ -119,6 +129,7 @@ class UniDiffuser(nn.Module):
             gesture, t, audio_emb, person_id,
             hubert=hubert, exp_cond=expr_x0,
             train=train, cfg_inference=cfg_inference,
+            cache=None if cache is None else cache.ges,
             **text_kw,
         )
 

@@ -49,11 +49,17 @@ def linear_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     qs = jax.nn.softmax(q.reshape(B, T, num_heads, hd), axis=-1)
     ks = jax.nn.softmax(k.reshape(B, T, num_heads, hd), axis=1)
     vv = v.reshape(B, T, num_heads, hd)
+    if qs.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # The CPU thunk runtime cannot execute bf16 x bf16 -> f32 dots at
+        # some shapes.  Upcasting is bit-identical here: bf16 products are
+        # exact in f32 and accumulation is f32 either way (on TPU the
+        # native-MXU bf16 dot stays).
+        qs, ks, vv = (a.astype(jnp.float32) for a in (qs, ks, vv))
     ctx = jnp.einsum("bnhd,bnhl->bhdl", ks, vv,
                      preferred_element_type=jnp.float32)
     y = jnp.einsum("bnhd,bhdl->bnhl", qs, ctx.astype(qs.dtype),
                    preferred_element_type=jnp.float32)
-    return y.astype(q.dtype).reshape(B, T, D)
+    return y.astype(q.dtype).reshape(B, T, D)  # back to the input dtype
 
 
 def _kernel(num_heads: int, hd: int, q_ref, k_ref, v_ref, o_ref):

@@ -35,6 +35,12 @@ from diffsheg_tpu.diffusion.schedule import (
 from diffsheg_tpu.models.factory import (ablate_inputs,
                                          build_denoiser,
                                          denoised_channels)
+from diffsheg_tpu.models.level_cache import (build_audio_cache,
+                                             build_level_cache,
+                                             build_static_cache,
+                                             gather_level,
+                                             supports_level_cache)
+from diffsheg_tpu.models.unidiffuser import UniDiffuser
 
 
 class WindowGenerator:
@@ -80,26 +86,67 @@ class WindowGenerator:
         )
         repaint_prog = self._plain if stream.no_repaint else self._harmonize
 
-        def make_denoise_fn(variables, mel, pid, hubert):
+        # Timestep-level cache (models/level_cache.py): precompute every
+        # x-independent conditioning tensor for all respaced levels before
+        # the sampler scan, so ~60% of the weights stream from HBM once per
+        # window instead of once per step.  Only for the joint UniDiffuser
+        # at sampling-friendly step counts; the uncached closure is the
+        # general path.
+        use_cache = (
+            getattr(diff, "level_cache", True)
+            and isinstance(self.model, UniDiffuser)
+            and supports_level_cache(mcfg)
+            and self.schedule.num_steps <= 64
+        )
+        self._use_level_cache = use_cache
+
+        def build_cache(variables, mel, pid, hubert):
+            """Leveled conditioning cache for one window (None when the
+            cache does not apply).  Traced — call inside jit."""
+            if not use_cache:
+                return None
+            mel, pid = ablate_inputs(mcfg, mel, pid)
+            return build_level_cache(mcfg, variables, tmap, mel, pid, hubert)
+
+        def cache_static(variables, pid):
+            """Window-independent cache part (stylization mods)."""
+            if not use_cache:
+                return None
+            _, pid = ablate_inputs(mcfg, None, pid)
+            return build_static_cache(mcfg, variables, tmap, pid)
+
+        def cache_audio(variables, mel, hubert):
+            """Audio cache part; mel (N, T, A) may fold windows into N so
+            a streamer computes every window's frontend in one batch."""
+            if not use_cache:
+                return None
+            mel, _ = ablate_inputs(mcfg, mel, None)
+            return build_audio_cache(mcfg, variables, tmap, mel, hubert)
+
+        def make_denoise_fn(variables, mel, pid, hubert, cache=None):
             mel, pid = ablate_inputs(mcfg, mel, pid)
             def fn(x: jax.Array, t: jax.Array) -> jax.Array:
                 # sqrt-alpha pair at the respaced level, broadcast (B,1,1)
                 # (reference gaussian_diffusion.py:527-532).
                 sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
                 srm1 = _gather(sched.sqrt_recipm1_alphas_cumprod, t, 3)
+                kw = {}
+                if cache is not None:
+                    # all rows of t share one program level per scan step
+                    kw["cache"] = gather_level(cache, t[0])
                 return model.apply(
                     variables, x, jnp.take(tmap, t), (sr, srm1), mel, pid,
                     hubert=hubert, train=False,
-                    cfg_inference=mcfg.uses_cfg_at_inference,
+                    cfg_inference=mcfg.uses_cfg_at_inference, **kw,
                 )
             return fn
 
-        def sample_plain(variables, mel, pid, hubert, rng):
+        def sample_plain(variables, mel, pid, hubert, rng, cache=None):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
             x, _ = ddim_sample_program(
-                sched, make_denoise_fn(variables, mel, pid, hubert),
+                sched, make_denoise_fn(variables, mel, pid, hubert, cache),
                 self._plain, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 unroll=diff.scan_unroll,
@@ -107,12 +154,12 @@ class WindowGenerator:
             return x
 
         def sample_repaint(variables, mel, pid, hubert, gt, prev_tails, rng,
-                           prev_tails_valid=None):
+                           prev_tails_valid=None, cache=None):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
             return ddim_sample_program(
-                sched, make_denoise_fn(variables, mel, pid, hubert),
+                sched, make_denoise_fn(variables, mel, pid, hubert, cache),
                 repaint_prog, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
@@ -120,12 +167,28 @@ class WindowGenerator:
                 unroll=diff.scan_unroll,
             )
 
-        self._jit_plain = jax.jit(sample_plain)
-        self._jit_repaint = jax.jit(sample_repaint)
+        def plain_auto(variables, mel, pid, hubert, rng):
+            return sample_plain(variables, mel, pid, hubert, rng,
+                                cache=build_cache(variables, mel, pid, hubert))
+
+        def repaint_auto(variables, mel, pid, hubert, gt, prev_tails, rng,
+                         prev_tails_valid=None):
+            return sample_repaint(
+                variables, mel, pid, hubert, gt, prev_tails, rng,
+                prev_tails_valid=prev_tails_valid,
+                cache=build_cache(variables, mel, pid, hubert))
+
+        self._jit_plain = jax.jit(plain_auto)
+        self._jit_repaint = jax.jit(repaint_auto)
         # raw (unjitted) callables for composition into larger programs
-        # (the fully-fused streamer traces these inside one jit)
+        # (the fully-fused streamer traces these inside one jit; it builds
+        # the caches itself so the static part is shared across windows and
+        # the audio part batches over ALL windows in one shot)
         self.sample_plain_fn = sample_plain
         self.sample_repaint_fn = sample_repaint
+        self.build_cache_fn = build_cache
+        self.cache_static_fn = cache_static
+        self.cache_audio_fn = cache_audio
 
     # -- public API -------------------------------------------------------
     def generate(

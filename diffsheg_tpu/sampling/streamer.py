@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffsheg_tpu.models.factory import denoised_channels
+from diffsheg_tpu.models.level_cache import AudioCache, combine
 from diffsheg_tpu.sampling.generator import WindowGenerator
 
 
@@ -200,38 +201,74 @@ class StreamingGenerator:
             gt = jnp.zeros((B, size, C), dtype=jnp.float32)
             return gt.at[:, :overlap].set(gt_head)
 
+        use_cache = getattr(gen, "_use_level_cache", False)
+
         def fused(variables, mel, person_id, hubert, keys):
             B = mel.shape[0]
             tails0 = jnp.zeros((n_levels, B, overlap or 1, C))
             valid0 = jnp.asarray(False)
+
+            # Conditioning cache (models/level_cache.py), paid at the right
+            # cadence: the static part (stylization mods) once per stream;
+            # the audio part for ALL windows in one batched frontend pass
+            # (K*B*L rows — MXU-shaped, unlike 25-row per-window matmuls).
+            if use_cache:
+                static = gen.cache_static_fn(variables, person_id)
+                mel_all = jnp.stack([slice_w(mel, s) for s in starts])
+                hub_all = (jnp.stack([slice_w(hubert, s) for s in starts])
+                           if has_hubert else None)
+                ac = gen.cache_audio_fn(
+                    variables, mel_all.reshape(K * B, size, -1),
+                    None if hub_all is None
+                    else hub_all.reshape(K * B, size, -1))
+                # unfold the window axis back out: leveled fields
+                # (L, K*B, T, .) -> (K, L, B, T, .); per-window fields
+                # (K*B, T, .) -> (K, B, T, .)
+                ac = AudioCache(
+                    *(a.reshape(a.shape[0], K, B, *a.shape[2:]).swapaxes(0, 1)
+                      for a in (ac.exp_audio, ac.ges_audio)),
+                    *(None if a is None else a.reshape(K, B, *a.shape[1:])
+                      for a in (ac.exp_hub, ac.ges_hub)),
+                )
+
+                def cache_at(idx):  # static python index
+                    return combine(static,
+                                   jax.tree.map(lambda a: a[idx], ac))
+            else:
+                static, ac = None, None
+                cache_at = lambda idx: None  # noqa: E731
 
             # window 0
             mel0, hub0 = slice_w(mel, 0), slice_w(hubert, 0)
             if cfg.stream.fix_very_first and overlap > 0:
                 out0, t0 = gen.sample_repaint_fn(
                     variables, mel0, person_id, hub0,
-                    jnp.zeros((B, size, C)), None, keys[0])
+                    jnp.zeros((B, size, C)), None, keys[0],
+                    cache=cache_at(0))
                 if track_tails:
                     tails0, valid0 = t0, jnp.asarray(True)
             else:
                 out0 = gen.sample_plain_fn(variables, mel0, person_id, hub0,
-                                           keys[0])
+                                           keys[0], cache=cache_at(0))
 
             mids = starts[1:-1]
             if mids:
                 mel_mid = jnp.stack([slice_w(mel, s) for s in mids])
                 hub_mid = (jnp.stack([slice_w(hubert, s) for s in mids])
                            if has_hubert else jnp.zeros((len(mids),)))
+                ac_mid = (jax.tree.map(lambda a: a[1:-1], ac)
+                          if use_cache else None)
 
                 def body(carry, inp):
                     prev_out, tails, valid = carry
-                    mel_w, hub_w, key = inp
+                    mel_w, hub_w, key, ac_w = inp
                     gt = with_head(prev_out[:, step:])
                     out, new_tails = gen.sample_repaint_fn(
                         variables, mel_w,
                         person_id, hub_w if has_hubert else None,
                         gt, tails if track_tails else None, key,
-                        prev_tails_valid=valid if track_tails else None)
+                        prev_tails_valid=valid if track_tails else None,
+                        cache=None if ac_w is None else combine(static, ac_w))
                     if not track_tails:
                         new_tails = tails
                     return ((out, new_tails, jnp.asarray(True)),
@@ -239,7 +276,7 @@ class StreamingGenerator:
 
                 (prev_out, tails, valid), mid_emit = jax.lax.scan(
                     body, (out0, tails0, valid0),
-                    (mel_mid, hub_mid, keys[1:-1]))
+                    (mel_mid, hub_mid, keys[1:-1], ac_mid))
             else:
                 prev_out, mid_emit = out0, None
                 tails, valid = tails0, valid0
@@ -251,7 +288,8 @@ class StreamingGenerator:
                 variables, slice_w(mel, last_s), person_id,
                 slice_w(hubert, last_s), gt_last,
                 tails if track_tails else None, keys[-1],
-                prev_tails_valid=valid if track_tails else None)
+                prev_tails_valid=valid if track_tails else None,
+                cache=cache_at(K - 1))
 
             # on-device assembly
             res = jnp.zeros((B, T, C), dtype=jnp.float32)
