@@ -6,13 +6,18 @@ trainers/ddpm_beat_trainer.py:1243-1315 — on one TPU chip, using the
 fast-inference configuration from inference_custom_audio_beat.sh:15-28
 (DDIM-25, overlap 4, jump_n_sample 2), whose A100 baseline is 55 FPS.
 
-All three stages the baseline pays are timed here: mel (18 kHz, hop 1200,
-128 bins), HuBERT-large inference over the chunked 16 kHz waveform
-(random-init weights — throughput only), and the fused windowed DDIM+RePaint
-sampler.  Per-stage seconds go to stderr; stdout is ONE JSON line.
+All three stages the baseline pays are timed: mel (18 kHz, hop 1200, 128
+bins), HuBERT-large inference over the chunked 16 kHz waveform (random-init
+weights — throughput only), and the fused windowed DDIM+RePaint sampler.
+The timed path is the serving configuration: all three stages traced into
+ONE compiled program (sampling/pipeline.py), bfloat16 matmuls, the
+timestep-level cache and the whole-layer Pallas kernel.  Set BENCH_STAGED=1
+for the per-stage breakdown (extra compiles).  Timing notes go to stderr;
+stdout is ONE JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,7 +53,10 @@ def main():
     stream = StreamingGenerator(gen)
     frontend = MelFrontend(sr=cfg.data.mel_sr, hop=cfg.data.mel_hop,
                            n_mels=cfg.data.n_mels)
-    hubert_fe = HubertFeatureExtractor()  # hubert-large, random init
+    # serving precision for the speech frontend too: HuBERT-large in
+    # bfloat16 halves the dominant matmul stage on the MXU
+    from diffsheg_tpu.models.hubert import HubertConfig
+    hubert_fe = HubertFeatureExtractor(HubertConfig(dtype="bfloat16"))
 
     # 60 s of synthetic speech-band audio -> 900 frames @ 15 fps.  The
     # reference pipeline reads the 16 kHz waveform for HuBERT and resamples
@@ -76,33 +84,40 @@ def main():
         # fully-fused stream: one compiled program for all windows
         return stream.generate_fused(mel, pid, key, hubert=hubert)
 
-    # warmup / compile all three stages
-    mel = stage_mel()
-    n_frames = mel.shape[1]
-    hub = stage_hubert(n_frames)
-    stage_sampler(mel, hub, jax.random.PRNGKey(0)).block_until_ready()
+    # optional staged run (reference-style per-stage accounting); costs
+    # three extra compiles, so it is diagnostics-only
+    if os.environ.get("BENCH_STAGED"):
+        mel = stage_mel()
+        n_frames = mel.shape[1]
+        hub = stage_hubert(n_frames)
+        stage_sampler(mel, hub, jax.random.PRNGKey(0)).block_until_ready()
+        t0 = time.perf_counter()
+        mel = stage_mel(); mel.block_until_ready(); t1 = time.perf_counter()
+        hub = stage_hubert(n_frames); hub.block_until_ready()
+        t2 = time.perf_counter()
+        out = stage_sampler(mel, hub, jax.random.PRNGKey(1))
+        out.block_until_ready(); t3 = time.perf_counter()
+        print(f"staged: mel={t1-t0:.3f}s hubert={t2-t1:.3f}s "
+              f"sampler={t3-t2:.3f}s total={t3-t0:.3f}s", file=sys.stderr)
 
-    totals, stages = [], []
+    # the serving path: the SAME three stages traced into ONE program —
+    # a 60 s clip costs a single device dispatch
+    from diffsheg_tpu.sampling.pipeline import FusedPipeline
+    pipe = FusedPipeline(stream, frontend, hubert_fe)
+    out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(0))
+    out.block_until_ready()
+
+    totals = []
     for i in range(6):
         t0 = time.perf_counter()
-        mel = stage_mel()
-        mel.block_until_ready()
-        t1 = time.perf_counter()
-        hub = stage_hubert(n_frames)
-        hub.block_until_ready()
-        t2 = time.perf_counter()
-        out = stage_sampler(mel, hub, jax.random.PRNGKey(i + 1))
+        out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(i + 1))
         out.block_until_ready()
-        t3 = time.perf_counter()
-        totals.append(t3 - t0)
-        stages.append((t1 - t0, t2 - t1, t3 - t2))
+        totals.append(time.perf_counter() - t0)
 
     frames = int(out.shape[1])
     best = int(np.argmin(totals))
     fps = frames / totals[best]
-    s_mel, s_hub, s_smp = stages[best]
-    print(f"stages (best of 6): mel={s_mel:.3f}s hubert={s_hub:.3f}s "
-          f"sampler={s_smp:.3f}s total={totals[best]:.3f}s "
+    print(f"fused pipeline (best of 6): total={totals[best]:.3f}s "
           f"frames={frames}", file=sys.stderr)
 
     print(json.dumps({

@@ -113,6 +113,16 @@ class HubertFeatureExtractor:
 
         return jax.jit(fn)
 
+    def raw_fn(self, num_samples: int, target_frames: Optional[int]):
+        """Unjitted extraction program for composition into a larger jit
+        (e.g. the single-dispatch pipeline, sampling/pipeline.py).
+
+        Returns ``fn(variables, audio_16k) -> (1, T, 1024)`` or None when
+        the audio is shorter than one conv kernel.
+        """
+        jitted = self._build(num_samples, target_frames)
+        return None if jitted is None else jitted.__wrapped__
+
     def __call__(self, audio_16k: jax.Array,
                  target_frames: Optional[int] = None) -> jax.Array:
         """audio (N,) or (1, N) float32 at 16 kHz -> (1, T, 1024).

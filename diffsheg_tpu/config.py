@@ -118,6 +118,11 @@ class DiffusionConfig:
     scan_unroll: int = 1   # lax.scan unroll factor for the sampler loop
                            # (>1 trades compile time for fewer loop-carried
                            # dispatch boundaries)
+    fused_layer: str = "auto"  # whole-layer Pallas kernel in the sampler
+                               # ('auto' = on for TPU backends when the
+                               # level cache applies; 'on' forces it —
+                               # interpret mode off-TPU; 'off' disables).
+                               # See ops/fused_layer.py.
     level_cache: bool = True  # precompute all x-independent conditioning
                               # (time/pid embeddings, audio encoder,
                               # stylization modulations) once per window for

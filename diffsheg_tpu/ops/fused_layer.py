@@ -1,0 +1,290 @@
+"""Whole-transformer-layer Pallas kernel (sampler fast path).
+
+One denoiser layer (reference models/transformer.py:247-346 — condition
+projection + linear self-attention + FFN, each with AdaLN stylization) is
+~25 small HLO ops.  At DiffSHEG serving shapes (B=1..2, T=34..88, D=512)
+each op carries a fixed dispatch/memory-latency cost that dwarfs its math,
+and the sampler runs the layer ~16 times per denoise step, hundreds of
+steps per stream.  This kernel executes the ENTIRE layer in one Pallas
+program: every weight and activation stays in VMEM, all eight matmuls run
+back-to-back on the MXU with fp32 accumulation, and the layer costs one
+dispatch instead of ~25.
+
+Contract (differences from the Flax module are *inputs*, not math):
+  - ``feats`` arrives pre-concatenated (h ++ cond) and pre-substituted for
+    classifier-free null rows, zero-padded on the lane axis to a multiple
+    of 128; the first LayerNorm uses masked statistics over the true width
+    ``c_real`` so padding is inert (scale/bias pads are zero, fc1 pad rows
+    are zero).
+  - the stylization modulations come precomputed from the timestep-level
+    cache (models/level_cache.py) as ``mod = emb_proj(silu(emb))``.
+  - ``src_mask`` is all-ones (fixed-size sampler windows), so the key-mask
+    add and value zeroing are identity and elided.
+  - inference only (dropout 0); training and general masking use the Flax
+    path.
+
+The jnp reference (``fused_layer_reference``) is the numerics oracle; the
+kernel is validated against it and against the full Flax layer in
+tests/test_fast_forward.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+LN_EPS = 1e-5
+
+
+def _gelu_exact(x):
+    """Exact (erf) GELU with an in-kernel erf.
+
+    Mosaic has no erf/erfc lowering, so erf uses Abramowitz & Stegun 7.1.26
+    (max abs error 1.5e-7 — two orders below f32 test tolerances and five
+    below bf16 resolution).  The jnp reference uses the same formula so the
+    kernel and its oracle agree exactly.
+    """
+    z = x * 0.7071067811865476
+    s = jnp.sign(z)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-a * a))
+    return 0.5 * x * (1.0 + erf)
+
+
+class LayerParams(NamedTuple):
+    """One DiffusionTransformerLayer's weights, kernel-ready.
+
+    ``fp_*`` tensors are padded on the feats axis to a lane multiple; the
+    pad region of ``fp_norm_scale``/``fp_norm_bias`` and the pad rows of
+    ``fp_fc1_k`` are zero.
+    """
+
+    fp_norm_scale: jax.Array   # (Cp,)
+    fp_norm_bias: jax.Array    # (Cp,)
+    fp_fc1_k: jax.Array        # (Cp, 2L)
+    fp_fc1_b: jax.Array        # (2L,)
+    fp_fc2_k: jax.Array        # (2L, L)
+    fp_fc2_b: jax.Array        # (L,)
+    sa_norm_scale: jax.Array   # (L,)
+    sa_norm_bias: jax.Array    # (L,)
+    q_k: jax.Array             # (L, L)
+    q_b: jax.Array             # (L,)
+    k_k: jax.Array
+    k_b: jax.Array
+    v_k: jax.Array
+    v_b: jax.Array
+    sa_so_norm_scale: jax.Array  # (L,)
+    sa_so_norm_bias: jax.Array
+    sa_out_k: jax.Array        # (L, L)
+    sa_out_b: jax.Array
+    ffn_l1_k: jax.Array        # (L, F)
+    ffn_l1_b: jax.Array        # (F,)
+    ffn_l2_k: jax.Array        # (F, L)
+    ffn_l2_b: jax.Array        # (L,)
+    ffn_so_norm_scale: jax.Array
+    ffn_so_norm_bias: jax.Array
+    ffn_out_k: jax.Array       # (L, L)
+    ffn_out_b: jax.Array
+
+
+def extract_layer_params(p, c_real: int, c_pad: int, dtype) -> LayerParams:
+    """Flax param subtree of one DiffusionTransformerLayer -> LayerParams.
+
+    Zero-pads the feats-axis tensors from ``c_real`` to ``c_pad`` (inert by
+    construction, see module docstring).
+    """
+
+    def a(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    def pad_vec(x):
+        return jnp.pad(a(x), (0, c_pad - c_real))
+
+    def pad_rows(x):
+        return jnp.pad(a(x), ((0, c_pad - c_real), (0, 0)))
+
+    fp, sa, ffn = p["feat_proj"], p["sa_block"], p["ffn"]
+    return LayerParams(
+        fp_norm_scale=pad_vec(fp["norm"]["scale"]),
+        fp_norm_bias=pad_vec(fp["norm"]["bias"]),
+        fp_fc1_k=pad_rows(fp["fc1"]["kernel"]),
+        fp_fc1_b=a(fp["fc1"]["bias"]),
+        fp_fc2_k=a(fp["fc2"]["kernel"]),
+        fp_fc2_b=a(fp["fc2"]["bias"]),
+        sa_norm_scale=a(sa["norm"]["scale"]),
+        sa_norm_bias=a(sa["norm"]["bias"]),
+        q_k=a(sa["query"]["kernel"]), q_b=a(sa["query"]["bias"]),
+        k_k=a(sa["key"]["kernel"]), k_b=a(sa["key"]["bias"]),
+        v_k=a(sa["value"]["kernel"]), v_b=a(sa["value"]["bias"]),
+        sa_so_norm_scale=a(sa["proj_out"]["norm"]["scale"]),
+        sa_so_norm_bias=a(sa["proj_out"]["norm"]["bias"]),
+        sa_out_k=a(sa["proj_out"]["out_proj"]["kernel"]),
+        sa_out_b=a(sa["proj_out"]["out_proj"]["bias"]),
+        ffn_l1_k=a(ffn["linear1"]["kernel"]),
+        ffn_l1_b=a(ffn["linear1"]["bias"]),
+        ffn_l2_k=a(ffn["linear2"]["kernel"]),
+        ffn_l2_b=a(ffn["linear2"]["bias"]),
+        ffn_so_norm_scale=a(ffn["proj_out"]["norm"]["scale"]),
+        ffn_so_norm_bias=a(ffn["proj_out"]["norm"]["bias"]),
+        ffn_out_k=a(ffn["proj_out"]["out_proj"]["kernel"]),
+        ffn_out_b=a(ffn["proj_out"]["out_proj"]["bias"]),
+    )
+
+
+def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
+                num_heads: int, c_real: int, cdtype):
+    """The whole layer in f32 activations / ``cdtype`` matmul inputs.
+
+    Shared verbatim by the Pallas kernel body (on (T, .) VMEM tiles) and the
+    jnp reference (vmapped over batch) — one source of truth for the math.
+    """
+    f32 = jnp.float32
+    T, L = x.shape
+
+    def mm(a, w, b):
+        y = jax.lax.dot_general(
+            a.astype(cdtype), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        return y + b.astype(f32)
+
+    def ln(h, scale, bias):
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
+        return ((h - mu) * jax.lax.rsqrt(var + LN_EPS)
+                * scale.astype(f32) + bias.astype(f32))
+
+    x = x.astype(f32)
+    feats = feats.astype(f32)
+
+    # --- condition projection (LN -> fc1 -> SiLU -> fc2) + residual -------
+    # masked statistics over the true feats width; the pad region of
+    # scale/bias is zero so normalized pads are zero and fc1 pad rows inert
+    Cp = feats.shape[-1]
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, Cp), 1)
+             < c_real).astype(f32)
+    mu = jnp.sum(feats, axis=-1, keepdims=True) / c_real
+    var = jnp.sum(((feats - mu) ** 2) * valid, axis=-1, keepdims=True) / c_real
+    nf = ((feats - mu) * jax.lax.rsqrt(var + LN_EPS)
+          * lp.fp_norm_scale.astype(f32) + lp.fp_norm_bias.astype(f32))
+    a1 = jax.nn.silu(mm(nf, lp.fp_fc1_k, lp.fp_fc1_b))
+    x1 = mm(a1, lp.fp_fc2_k, lp.fp_fc2_b) + x
+
+    # --- linear self-attention (all-ones mask) ----------------------------
+    n1 = ln(x1, lp.sa_norm_scale, lp.sa_norm_bias)
+    q = mm(n1, lp.q_k, lp.q_b)
+    k = mm(n1, lp.k_k, lp.k_b)
+    v = mm(n1, lp.v_k, lp.v_b)
+    hd = L // num_heads
+    heads = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh = jax.nn.softmax(q[:, sl], axis=-1)
+        kh = jax.nn.softmax(k[:, sl], axis=0)
+        ctx = jax.lax.dot_general(
+            kh.astype(cdtype), v[:, sl].astype(cdtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        heads.append(jax.lax.dot_general(
+            qh.astype(cdtype), ctx.astype(cdtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32))
+    y = jnp.concatenate(heads, axis=-1)
+
+    # stylization (precomputed mod) + residual
+    scale_sa, shift_sa = jnp.split(mod_sa.astype(f32), 2)
+    z = ln(y, lp.sa_so_norm_scale, lp.sa_so_norm_bias)
+    z = jax.nn.silu(z * (1.0 + scale_sa[None]) + shift_sa[None])
+    x2 = x1 + mm(z, lp.sa_out_k, lp.sa_out_b)
+
+    # --- FFN ---------------------------------------------------------------
+    f = _gelu_exact(mm(x2, lp.ffn_l1_k, lp.ffn_l1_b))
+    g = mm(f, lp.ffn_l2_k, lp.ffn_l2_b)
+    scale_f, shift_f = jnp.split(mod_ffn.astype(f32), 2)
+    z2 = ln(g, lp.ffn_so_norm_scale, lp.ffn_so_norm_bias)
+    z2 = jax.nn.silu(z2 * (1.0 + scale_f[None]) + shift_f[None])
+    return x2 + mm(z2, lp.ffn_out_k, lp.ffn_out_b)
+
+
+def fused_layer_reference(x, feats, mod_sa, mod_ffn, lp: LayerParams,
+                          num_heads: int, c_real: int) -> jax.Array:
+    """jnp oracle: same math, vmapped over batch."""
+    cdtype = lp.q_k.dtype
+    out = jax.vmap(
+        lambda xb, fb, ms, mf: _layer_math(
+            xb, fb, ms, mf, lp, num_heads, c_real, cdtype)
+    )(x, feats, mod_sa, mod_ffn)
+    return out.astype(x.dtype)
+
+
+def _kernel(num_heads, c_real, cdtype,
+            x_ref, feats_ref, mod_sa_ref, mod_ffn_ref, *rest):
+    lp = LayerParams(*(r[...] for r in rest[:-1]))
+    o_ref = rest[-1]
+    out = _layer_math(
+        x_ref[0], feats_ref[0], mod_sa_ref[0, 0], mod_ffn_ref[0, 0],
+        lp, num_heads, c_real, cdtype)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_layer(x: jax.Array,         # (B, T, L)
+                feats: jax.Array,     # (B, T, Cp) pre-concat/substituted/padded
+                mod_sa: jax.Array,    # (B, 2L)
+                mod_ffn: jax.Array,   # (B, 2L)
+                lp: LayerParams,
+                num_heads: int,
+                c_real: int,
+                interpret: bool = False) -> jax.Array:
+    """One denoiser layer as a single Pallas program per batch row."""
+    if not _HAS_PALLAS:  # pragma: no cover
+        return fused_layer_reference(x, feats, mod_sa, mod_ffn, lp,
+                                     num_heads, c_real)
+    B, T, L = x.shape
+    Cp = feats.shape[-1]
+    F = lp.ffn_l1_b.shape[0]
+    cdtype = lp.q_k.dtype
+    # Mosaic requires a block's last two dims to be 8/128-divisible OR
+    # equal to the array's; a (1, 2L) row block of a (B, 2L) array breaks
+    # that for B>1, so the mods get a unit middle axis.
+    mod_sa = mod_sa[:, None, :]
+    mod_ffn = mod_ffn[:, None, :]
+
+    def row(shape):
+        return pl.BlockSpec((1,) + shape[1:], lambda b: (b,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def whole(arr):
+        return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [row(x.shape), row(feats.shape),
+                row(mod_sa.shape), row(mod_ffn.shape)]
+    in_specs += [whole(p) for p in lp]
+
+    # 8 matmuls/row: fc1, fc2, qkv(3), sa_out, ffn l1/l2/out + attention
+    flops = 2 * B * T * (Cp * 2 * L + 2 * L * L + 5 * L * L + 2 * L * F) \
+        + 4 * B * T * L * (L // num_heads)
+    weight_bytes = sum(p.size * p.dtype.itemsize for p in lp)
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads, c_real, cdtype),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=row(x.shape),
+        out_shape=jax.ShapeDtypeStruct((B, T, L), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=weight_bytes + 3 * B * T * L * x.dtype.itemsize,
+            transcendentals=B * T * (2 * L + 2 * L + F),
+        ),
+        interpret=interpret,
+    )(x, feats, mod_sa, mod_ffn, *lp)

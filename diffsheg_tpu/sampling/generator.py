@@ -35,6 +35,9 @@ from diffsheg_tpu.diffusion.schedule import (
 from diffsheg_tpu.models.factory import (ablate_inputs,
                                          build_denoiser,
                                          denoised_channels)
+from diffsheg_tpu.models.fast_forward import (extract_fast_params,
+                                              fast_unidiffuser_step,
+                                              supports_fast_forward)
 from diffsheg_tpu.models.level_cache import (build_audio_cache,
                                              build_level_cache,
                                              build_static_cache,
@@ -99,6 +102,18 @@ class WindowGenerator:
             and self.schedule.num_steps <= 64
         )
         self._use_level_cache = use_cache
+        # whole-layer Pallas kernel (ops/fused_layer.py): consumes the
+        # level cache, so it requires it.  'auto' enables it off-CPU;
+        # 'on' forces it everywhere (interpret mode on CPU, for tests).
+        fused_mode = getattr(diff, "fused_layer", "auto")
+        on_cpu = jax.default_backend() == "cpu"
+        use_fast = (
+            use_cache
+            and supports_fast_forward(mcfg)
+            and (fused_mode == "on" or (fused_mode == "auto" and not on_cpu))
+        )
+        self._use_fused_layer = use_fast
+        fast_interpret = on_cpu
 
         def build_cache(variables, mel, pid, hubert):
             """Leveled conditioning cache for one window (None when the
@@ -125,14 +140,23 @@ class WindowGenerator:
 
         def make_denoise_fn(variables, mel, pid, hubert, cache=None):
             mel, pid = ablate_inputs(mcfg, mel, pid)
+            fast = None
+            if use_fast and cache is not None:
+                fast = extract_fast_params(mcfg, variables, mel.shape[1],
+                                           hubert is not None)
             def fn(x: jax.Array, t: jax.Array) -> jax.Array:
                 # sqrt-alpha pair at the respaced level, broadcast (B,1,1)
                 # (reference gaussian_diffusion.py:527-532).
                 sr = _gather(sched.sqrt_recip_alphas_cumprod, t, 3)
                 srm1 = _gather(sched.sqrt_recipm1_alphas_cumprod, t, 3)
+                if fast is not None:
+                    # all rows of t share one program level per scan step
+                    return fast_unidiffuser_step(
+                        mcfg, fast, x, (sr, srm1), gather_level(cache, t[0]),
+                        cfg_inference=mcfg.uses_cfg_at_inference,
+                        interpret=fast_interpret)
                 kw = {}
                 if cache is not None:
-                    # all rows of t share one program level per scan step
                     kw["cache"] = gather_level(cache, t[0])
                 return model.apply(
                     variables, x, jnp.take(tmap, t), (sr, srm1), mel, pid,

@@ -1,0 +1,158 @@
+"""Fused-layer fast path parity: Pallas engine == Flax cached forward.
+
+The serving engine (models/fast_forward.py + ops/fused_layer.py) must
+reproduce ``UniDiffuser.apply(..., cache=...)`` — which tests/test_level_cache.py
+already pins against the plain forward.  Run in Pallas interpret mode on
+CPU.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsheg_tpu.config import beat_config, show_config
+from diffsheg_tpu.diffusion.schedule import _gather
+from diffsheg_tpu.models.fast_forward import (extract_fast_params,
+                                              fast_unidiffuser_step)
+from diffsheg_tpu.models.level_cache import build_level_cache, gather_level
+from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+from diffsheg_tpu.sampling.generator import WindowGenerator
+from diffsheg_tpu.ops.fused_layer import (extract_layer_params,
+                                          fused_layer,
+                                          fused_layer_reference)
+
+
+def tiny(cfg, **model_overrides):
+    model = dataclasses.replace(
+        cfg.model, latent_dim=64, num_layers=2, num_heads=4, ff_size=128,
+        hubert_dim=48, hubert_latent_dim=32, **model_overrides)
+    return cfg.replace(model=model)
+
+
+def make_inputs(cfg, key, B=2):
+    T = cfg.data.n_poses
+    ks = jax.random.split(key, 4)
+    mel = jax.random.normal(ks[0], (B, T, cfg.model.audio_dim))
+    pid = jax.nn.one_hot(jnp.arange(B) % cfg.model.style_dim,
+                         cfg.model.style_dim)
+    hub = jax.random.normal(ks[1], (B, T, cfg.model.hubert_dim))
+    x = jax.random.normal(ks[2], (B, T, cfg.model.motion_dim))
+    return mel, pid, hub, x
+
+
+class TestFusedLayerKernel:
+    def test_kernel_matches_reference_padded(self):
+        # non-128 feats width exercises the masked-LN padding path
+        from diffsheg_tpu.models.blocks import DiffusionTransformerLayer
+        B, T, L, H = 2, 13, 64, 4
+        c_real, c_pad = 64 + 35, 128
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        layer = DiffusionTransformerLayer(L, 2 * L, H)
+        variables = layer.init(
+            jax.random.PRNGKey(1), jnp.zeros((B, T, L)),
+            jnp.zeros((B, T, c_real - L)), jnp.zeros((B, 4 * L)),
+            jnp.ones((B, T, 1)))
+        p = variables["params"]
+        # randomize the zero-init projections so the test is not trivial
+        p = jax.tree.map(
+            lambda a: jax.random.normal(ks[0], a.shape) * 0.2, p)
+        lp = extract_layer_params(p, c_real, c_pad, jnp.float32)
+        x = jax.random.normal(ks[1], (B, T, L))
+        feats = jnp.pad(jax.random.normal(ks[2], (B, T, c_real)),
+                        ((0, 0), (0, 0), (0, c_pad - c_real)))
+        mod_sa = jax.random.normal(ks[3], (B, 2 * L))
+        mod_ffn = jax.random.normal(ks[4], (B, 2 * L))
+        ref = fused_layer_reference(x, feats, mod_sa, mod_ffn, lp, H, c_real)
+        got = fused_layer(x, feats, mod_sa, mod_ffn, lp, H, c_real,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_kernel_layer_matches_flax_layer(self):
+        # the jnp reference itself must equal the Flax module composition
+        from diffsheg_tpu.models.blocks import DiffusionTransformerLayer
+        B, T, L, H, C = 2, 9, 64, 4, 96
+        key = jax.random.PRNGKey(3)
+        layer = DiffusionTransformerLayer(L, 2 * L, H)
+        x = jax.random.normal(key, (B, T, L))
+        cond = jax.random.normal(jax.random.fold_in(key, 1), (B, T, C - L))
+        emb = jax.random.normal(jax.random.fold_in(key, 2), (B, 4 * L))
+        mask = jnp.ones((B, T, 1))
+        variables = layer.init(jax.random.PRNGKey(4), x, cond, emb, mask)
+        ref = layer.apply(variables, x, cond, emb, mask)
+
+        p = variables["params"]
+        import flax.linen as nn
+        mod_sa = nn.Dense(2 * L).apply(
+            {"params": p["sa_block"]["proj_out"]["emb_proj"]}, nn.silu(emb))
+        mod_ffn = nn.Dense(2 * L).apply(
+            {"params": p["ffn"]["proj_out"]["emb_proj"]}, nn.silu(emb))
+        lp = extract_layer_params(p, C, 128, jnp.float32)
+        feats = jnp.pad(jnp.concatenate([x, cond], axis=-1),
+                        ((0, 0), (0, 0), (0, 128 - C)))
+        got = fused_layer(x, feats, mod_sa, mod_ffn, lp, H, C,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestEngineParity:
+    def _compare(self, cfg, seed=0, B=2):
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(seed), batch=B)
+        gen = WindowGenerator(cfg, variables)
+        mel, pid, hub, x = make_inputs(cfg, jax.random.PRNGKey(seed + 1), B)
+        tmap = gen.timestep_map
+        cache = build_level_cache(cfg.model, gen.variables, tmap, mel, pid,
+                                  hub)
+        fast = extract_fast_params(cfg.model, gen.variables,
+                                   cfg.data.n_poses, True)
+        for lvl in (0, 13, 24):
+            t = jnp.full((B,), lvl, dtype=jnp.int32)
+            sr = _gather(gen.schedule.sqrt_recip_alphas_cumprod, t, 3)
+            srm1 = _gather(gen.schedule.sqrt_recipm1_alphas_cumprod, t, 3)
+            ref = gen.model.apply(
+                gen.variables, x, jnp.take(tmap, t), (sr, srm1), mel, pid,
+                hubert=hub, train=False,
+                cfg_inference=cfg.model.uses_cfg_at_inference,
+                cache=gather_level(cache, t[0]))
+            got = fast_unidiffuser_step(
+                cfg.model, fast, x, (sr, srm1), gather_level(cache, t[0]),
+                cfg_inference=cfg.model.uses_cfg_at_inference,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_beat_forward(self):
+        self._compare(tiny(beat_config()))
+
+    def test_expr_id_off(self):
+        self._compare(tiny(beat_config(), expr_id_off=True), seed=2)
+
+    def test_show_cfg(self):
+        cfg = tiny(show_config())
+        assert cfg.model.uses_cfg_at_inference
+        self._compare(cfg, seed=4)
+
+
+class TestGeneratorIntegration:
+    def test_forced_fused_sampling_matches_flax(self):
+        cfg = tiny(beat_config())
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(5), batch=2)
+        g_fast = WindowGenerator(
+            cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer="on")), variables)
+        g_ref = WindowGenerator(
+            cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer="off")), variables)
+        assert g_fast._use_fused_layer and not g_ref._use_fused_layer
+        mel, pid, hub, _ = make_inputs(cfg, jax.random.PRNGKey(6))
+        k = jax.random.PRNGKey(7)
+        np.testing.assert_allclose(
+            np.asarray(g_fast.generate(mel, pid, k, hub)),
+            np.asarray(g_ref.generate(mel, pid, k, hub)),
+            atol=2e-3, rtol=2e-3)
