@@ -57,6 +57,7 @@ class CustomAudioPipeline:
         self.motion_std = motion_std
         from diffsheg_tpu.geometry.rotations import axis_angle_to_euler
         self._aa_to_euler = jax.jit(lambda x: axis_angle_to_euler(x, "XYZ"))
+        self._pipe = None  # lazy FusedPipeline (single-dispatch serving)
         self.hubert_extractor = None
         if cfg.model.add_hubert:
             import sys
@@ -98,17 +99,43 @@ class CustomAudioPipeline:
 
     def generate(self, wav_path: str, speaker_ids: Sequence[int],
                  seed: int = 0) -> GenerationResult:
-        """Generate all requested speaker styles in one batch."""
+        """Generate all requested speaker styles in one batch.
+
+        With ``stream.single_dispatch`` (the default) the whole device
+        pipeline — mel, HuBERT, windowed sampler — runs as ONE compiled
+        program (sampling/pipeline.py): a clip costs a single dispatch.
+        ``--set stream.single_dispatch=false`` restores the staged path
+        with the reference-style per-stage RTF breakdown
+        (ddpm_beat_trainer.py:1233-1315).
+        """
         timer = StageTimer()
-        mel, hubert = self.prepare_audio(wav_path, timer)
-        B = len(speaker_ids)
-        mel_b = jnp.tile(mel, (B, 1, 1))
-        hub_b = jnp.tile(hubert, (B, 1, 1)) if hubert is not None else None
         pid = jax.nn.one_hot(jnp.asarray(speaker_ids),
                              self.cfg.model.style_dim)
-        with timer.stage("sampler"):
-            out = self._sample(mel_b, pid, jax.random.PRNGKey(seed), hub_b)
-            out.block_until_ready()
+        if getattr(self.cfg.stream, "single_dispatch", False) \
+                and not self.cfg.stream.same_overlap_noisy:
+            from diffsheg_tpu.audio.wav import load_wav, resample_poly
+            y, sr = load_wav(wav_path)
+            y18 = jnp.asarray(resample_poly(y, sr, self.cfg.data.mel_sr))
+            y16 = (jnp.asarray(resample_poly(y, sr, 16000))
+                   if self.hubert_extractor is not None else None)
+            if self._pipe is None:
+                from diffsheg_tpu.sampling.pipeline import FusedPipeline
+                self._pipe = FusedPipeline(self.streamer, self.mel_frontend,
+                                           self.hubert_extractor)
+            with timer.stage("pipeline"):
+                out = self._pipe(y18[None],
+                                 None if y16 is None else y16[None],
+                                 pid, jax.random.PRNGKey(seed))
+                out.block_until_ready()
+        else:
+            mel, hubert = self.prepare_audio(wav_path, timer)
+            B = len(speaker_ids)
+            mel_b = jnp.tile(mel, (B, 1, 1))
+            hub_b = jnp.tile(hubert, (B, 1, 1)) if hubert is not None else None
+            with timer.stage("sampler"):
+                out = self._sample(mel_b, pid, jax.random.PRNGKey(seed),
+                                   hub_b)
+                out.block_until_ready()
         T = out.shape[1]
         return GenerationResult(
             motion=np.asarray(out),

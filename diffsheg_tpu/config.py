@@ -138,6 +138,9 @@ class StreamConfig:
     (reference trainers/ddpm_beat_trainer.py:1123-1346)."""
 
     overlap_len: int = 4
+    single_dispatch: bool = True  # serve mel+HuBERT+sampler as ONE compiled
+                                  # program (sampling/pipeline.py); false =
+                                  # staged jits with per-stage RTF
     add_blend: bool = True        # linear cross-fade at low noise (--addBlend)
     fix_very_first: bool = False  # pin the first window's head to GT
     no_repaint: bool = False      # disable the harmonize (jump) schedule
