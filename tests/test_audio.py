@@ -228,3 +228,26 @@ class TestOnsets:
         motion = np.cumsum(vel)[:, None].repeat(3, axis=1)
         score = beat_alignment(motion, beats, fps)
         assert score > 0.5
+
+    def test_peak_pick_librosa_window_semantics(self):
+        """Hand-computed librosa.util.peak_pick oracle on a tiny envelope."""
+        from diffsheg_tpu.audio.onsets import peak_pick
+        env = np.array([0., 1., 0., 0., 0., 2., 1.9, 0., 0., 3.], dtype=float)
+        # pre_max=1, post_max=2: max window env[i-1:i+2]
+        # pre_avg=2, post_avg=3: mean window env[i-2:i+3]
+        # delta=0.5, wait=2: onsets >2 frames apart
+        # i=1: max(0,1,0)=1 ok; mean(0,1,0,0)=0.25 +0.5 <= 1 ok -> onset
+        # i=5: max(0,2,1.9)=2 ok; mean(0,0,2,1.9,0)=0.78 +0.5 <= 2 ok; 5-1>2 -> onset
+        # i=6: not the window max (2 at i=5) -> no
+        # i=9: max(0,3)=3 ok; mean(0,0,3)=1.0 +0.5 <= 3 ok; 9-5>2 -> onset
+        got = peak_pick(env, pre_max=1, post_max=2, pre_avg=2, post_avg=3,
+                        delta=0.5, wait=2)
+        np.testing.assert_array_equal(got, [1, 5, 9])
+
+    def test_peak_pick_wait_suppresses(self):
+        from diffsheg_tpu.audio.onsets import peak_pick
+        env = np.array([0., 5., 0., 5., 0., 5., 0.], dtype=float)
+        got = peak_pick(env, pre_max=1, post_max=2, pre_avg=1, post_avg=2,
+                        delta=0.1, wait=3)
+        # i=1 fires; i=3 suppressed (3-1<=3); i=5 fires (5-1>3)
+        np.testing.assert_array_equal(got, [1, 5])
