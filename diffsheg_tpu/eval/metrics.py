@@ -194,10 +194,11 @@ def beat_alignment(motion: np.ndarray, audio_beats: np.ndarray,
       - averaging direction: over kinematic beats (not audio beats);
       - sigma = 0.3 s, the harness's ``alignment(0.3, 7)`` instantiation;
       - motion beats: strict velocity minima within an order-7 window.
-    Documented difference from the harness: audio beats here come from the
-    native spectral-flux onset detector (audio/onsets.py) instead of
-    librosa.onset.onset_detect — same onset-envelope recipe, different
-    peak-picking defaults.
+    Audio beats come from the native onset detector (audio/onsets.py),
+    which reproduces librosa.onset.onset_detect's published algorithm —
+    power_to_db onset strength and peak_pick with onset_detect's default
+    window arithmetic — so the audio side matches the harness's librosa
+    defaults (the mel frontend analysis window is documented there).
 
     motion: (T, C) pose channels; audio_beats: beat times in seconds.
     """
