@@ -156,3 +156,29 @@ class TestGeneratorIntegration:
             np.asarray(g_fast.generate(mel, pid, k, hub)),
             np.asarray(g_ref.generate(mel, pid, k, hub)),
             atol=2e-3, rtol=2e-3)
+
+
+class TestFusedStreamIntegration:
+    def test_fused_stream_with_kernel_matches_flax(self):
+        """The whole-stream program with the Pallas fast path (interpret)
+        must match the Flax path — covers the streamer's cache assembly
+        (static part shared across windows, audio part batched) feeding the
+        kernel engine."""
+        from diffsheg_tpu.sampling.streamer import StreamingGenerator
+        cfg = tiny(beat_config())
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(8), batch=1)
+        mk = lambda mode: StreamingGenerator(WindowGenerator(
+            cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer=mode)), variables))
+        s_on, s_off = mk("on"), mk("off")
+        T = 70  # two windows: plain + one repaint continuation
+        ks = jax.random.split(jax.random.PRNGKey(9), 2)
+        mel = jax.random.normal(ks[0], (1, T, cfg.model.audio_dim))
+        hub = jax.random.normal(ks[1], (1, T, cfg.model.hubert_dim))
+        pid = jax.nn.one_hot(jnp.array([2]), cfg.model.style_dim)
+        rng = jax.random.PRNGKey(10)
+        a = s_on.generate_fused(mel, pid, rng, hubert=hub)
+        b = s_off.generate_fused(mel, pid, rng, hubert=hub)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=2e-3)
