@@ -40,13 +40,21 @@ def power_to_db(S: np.ndarray, amin: float = 1e-10,
     return np.maximum(log_spec, log_spec.max() - top_db)
 
 
-def onset_strength(mel: np.ndarray, lag: int = 1) -> np.ndarray:
+def onset_strength(mel: np.ndarray, lag: int = 1,
+                   center_shift: int = 0) -> np.ndarray:
     """(T, M) power mel -> (T,) onset envelope (librosa.onset.onset_strength:
-    positive lag-difference of the dB mel, mean over bands, lag zeros
-    prepended)."""
+    positive lag-difference of the dB mel, mean over bands, zero-padded at
+    the start and trimmed back to T).
+
+    ``center_shift`` is librosa's centered-STFT compensation,
+    ``n_fft // (2 * hop)`` extra frames of start padding (librosa
+    onset_strength_multi pads ``lag + n_fft // (2*hop)`` when center=True).
+    """
+    T = mel.shape[0]
     S = power_to_db(mel)
     flux = np.maximum(S[lag:] - S[:-lag], 0.0).mean(axis=1)
-    return np.concatenate([np.zeros(lag), flux])
+    env = np.concatenate([np.zeros(lag + center_shift), flux])
+    return env[:T]
 
 
 def peak_pick(env: np.ndarray, pre_max: int, post_max: int,
@@ -79,9 +87,18 @@ def peak_pick(env: np.ndarray, pre_max: int, post_max: int,
 def pick_onsets(envelope: np.ndarray, hop_seconds: float,
                 delta: float = 0.07) -> np.ndarray:
     """Onset times in seconds with librosa.onset.onset_detect's default
-    window set derived from the frame rate (see module docstring)."""
+    window set derived from the frame rate (see module docstring).
+
+    Matches onset_detect's ``normalize=True`` default: the envelope is
+    shifted to min 0 and scaled to max 1 before peak picking, which is
+    what calibrates ``delta=0.07``.
+    """
     if len(envelope) == 0:
         return np.zeros((0,))
+    envelope = envelope - envelope.min()
+    peak = envelope.max()
+    if peak > 0:
+        envelope = envelope / peak
     fps = 1.0 / hop_seconds
     frames = peak_pick(
         envelope,
@@ -99,14 +116,16 @@ def audio_onset_times(audio: np.ndarray, sr: int,
                       mel: Optional[np.ndarray] = None,
                       hop: Optional[int] = None) -> np.ndarray:
     """Waveform -> onset times in seconds (computes mel if not given)."""
+    n_fft = 512  # short 32 ms analysis window: the 2048-default smears
+    #              onsets ~60 ms
     if mel is None:
         import jax.numpy as jnp
         from diffsheg_tpu.audio.mel import MelFrontend
         hop = hop or sr // 100  # 10 ms frames for onset resolution
-        # short 32 ms analysis window: the 2048-default smears onsets ~60 ms
-        fe = MelFrontend(sr=sr, n_fft=512, hop=hop, n_mels=64,
+        fe = MelFrontend(sr=sr, n_fft=n_fft, hop=hop, n_mels=64,
                          drop_last=True)
         mel = np.asarray(fe(jnp.asarray(audio, dtype=jnp.float32)[None]))[0]
     else:
         assert hop is not None, "hop required when mel is precomputed"
-    return pick_onsets(onset_strength(mel), hop / sr)
+    env = onset_strength(mel, center_shift=n_fft // (2 * hop))
+    return pick_onsets(env, hop / sr)

@@ -73,22 +73,29 @@ class CustomAudioPipeline:
                 variables=hubert_variables)
 
     # -- stages ------------------------------------------------------------
-    def prepare_audio(self, wav_path: str, timer: StageTimer):
-        """Load + resample host-side, mel + HuBERT on device."""
+    def _load_audio(self, wav_path: str):
+        """Host-side load + resample: (mel-rate waveform, 16k waveform or
+        None).  The single source of audio-loading conventions for both
+        the staged and single-dispatch paths."""
         from diffsheg_tpu.audio.wav import load_wav, resample_poly
 
         y, sr = load_wav(wav_path)
+        y_mel = jnp.asarray(resample_poly(y, sr, self.cfg.data.mel_sr))
+        y16 = (jnp.asarray(resample_poly(y, sr, 16000))
+               if self.hubert_extractor is not None else None)
+        return y_mel, y16
+
+    def prepare_audio(self, wav_path: str, timer: StageTimer):
+        """Load + resample host-side, mel + HuBERT on device."""
+        y_mel, y16 = self._load_audio(wav_path)
         with timer.stage("mel"):
-            y18 = resample_poly(y, sr, self.cfg.data.mel_sr)
-            mel = self.mel_frontend(jnp.asarray(y18)[None])  # (1, T, M)
+            mel = self.mel_frontend(y_mel[None])  # (1, T, M)
             mel.block_until_ready()
         T = mel.shape[1]
         hubert = None
-        if self.hubert_extractor is not None:
+        if y16 is not None:
             with timer.stage("hubert"):
-                y16 = resample_poly(y, sr, 16000)
-                hubert = self.hubert_extractor(jnp.asarray(y16),
-                                               target_frames=T)
+                hubert = self.hubert_extractor(y16, target_frames=T)
                 hubert.block_until_ready()
         return mel, hubert
 
@@ -113,17 +120,13 @@ class CustomAudioPipeline:
                              self.cfg.model.style_dim)
         if getattr(self.cfg.stream, "single_dispatch", False) \
                 and not self.cfg.stream.same_overlap_noisy:
-            from diffsheg_tpu.audio.wav import load_wav, resample_poly
-            y, sr = load_wav(wav_path)
-            y18 = jnp.asarray(resample_poly(y, sr, self.cfg.data.mel_sr))
-            y16 = (jnp.asarray(resample_poly(y, sr, 16000))
-                   if self.hubert_extractor is not None else None)
+            y_mel, y16 = self._load_audio(wav_path)
             if self._pipe is None:
                 from diffsheg_tpu.sampling.pipeline import FusedPipeline
                 self._pipe = FusedPipeline(self.streamer, self.mel_frontend,
                                            self.hubert_extractor)
             with timer.stage("pipeline"):
-                out = self._pipe(y18[None],
+                out = self._pipe(y_mel[None],
                                  None if y16 is None else y16[None],
                                  pid, jax.random.PRNGKey(seed))
                 out.block_until_ready()

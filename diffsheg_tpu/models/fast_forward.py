@@ -65,8 +65,11 @@ def _branch_widths(cfg: ModelConfig, has_hubert: bool,
     """(c_real, c_pad) of the per-layer feats (= latent ++ cond)."""
     c = cfg.latent_dim + cfg.aud_latent_dim + exp_cond_dim
     if has_hubert:
-        # raw mode concatenates the unencoded features (denoiser.py)
-        c += cfg.hubert_latent_dim if cfg.encode_hubert else cfg.hubert_dim
+        # same mode rule as the denoiser/level cache: 'raw' (whether via
+        # speech_encoder='raw' or encode_hubert=False) concatenates the
+        # unencoded features
+        mode = cfg.speech_encoder if cfg.encode_hubert else "raw"
+        c += cfg.hubert_dim if mode == "raw" else cfg.hubert_latent_dim
     return c, _round128(c)
 
 

@@ -106,14 +106,16 @@ class WindowGenerator:
         # level cache, so it requires it.  'auto' enables it off-CPU;
         # 'on' forces it everywhere (interpret mode on CPU, for tests).
         fused_mode = getattr(diff, "fused_layer", "auto")
-        on_cpu = jax.default_backend() == "cpu"
+        # Mosaic lowering exists only on TPU backends (the axon remote
+        # plugin also reports "tpu"); 'on' forces interpret mode elsewhere.
+        on_tpu = jax.default_backend() == "tpu"
         use_fast = (
             use_cache
             and supports_fast_forward(mcfg)
-            and (fused_mode == "on" or (fused_mode == "auto" and not on_cpu))
+            and (fused_mode == "on" or (fused_mode == "auto" and on_tpu))
         )
         self._use_fused_layer = use_fast
-        fast_interpret = on_cpu
+        fast_interpret = not on_tpu
 
         def build_cache(variables, mel, pid, hubert):
             """Leveled conditioning cache for one window (None when the
@@ -138,10 +140,21 @@ class WindowGenerator:
             mel, _ = ablate_inputs(mcfg, mel, None)
             return build_audio_cache(mcfg, variables, tmap, mel, hubert)
 
-        def make_denoise_fn(variables, mel, pid, hubert, cache=None):
+        def make_fast(variables, T, has_hubert):
+            """Kernel-ready weights for the fast path (None when off).
+            Traced; a streamer calls this ONCE per stream, outside the
+            window scan, so the pad/cast of every layer's weights is
+            loop-invariant."""
+            if not use_fast:
+                return None
+            return extract_fast_params(mcfg, variables, T, has_hubert)
+
+        def make_denoise_fn(variables, mel, pid, hubert, cache=None,
+                            fast=None):
             mel, pid = ablate_inputs(mcfg, mel, pid)
-            fast = None
-            if use_fast and cache is not None:
+            if cache is None:
+                fast = None  # the fast path consumes the cache
+            elif fast is None and use_fast:
                 fast = extract_fast_params(mcfg, variables, mel.shape[1],
                                            hubert is not None)
             def fn(x: jax.Array, t: jax.Array) -> jax.Array:
@@ -165,12 +178,14 @@ class WindowGenerator:
                 )
             return fn
 
-        def sample_plain(variables, mel, pid, hubert, rng, cache=None):
+        def sample_plain(variables, mel, pid, hubert, rng, cache=None,
+                         fast=None):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
             x, _ = ddim_sample_program(
-                sched, make_denoise_fn(variables, mel, pid, hubert, cache),
+                sched, make_denoise_fn(variables, mel, pid, hubert, cache,
+                                       fast),
                 self._plain, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 unroll=diff.scan_unroll,
@@ -178,12 +193,13 @@ class WindowGenerator:
             return x
 
         def sample_repaint(variables, mel, pid, hubert, gt, prev_tails, rng,
-                           prev_tails_valid=None, cache=None):
+                           prev_tails_valid=None, cache=None, fast=None):
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
             return ddim_sample_program(
-                sched, make_denoise_fn(variables, mel, pid, hubert, cache),
+                sched, make_denoise_fn(variables, mel, pid, hubert, cache,
+                                       fast),
                 repaint_prog, noise, rng,
                 mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
@@ -213,6 +229,7 @@ class WindowGenerator:
         self.build_cache_fn = build_cache
         self.cache_static_fn = cache_static
         self.cache_audio_fn = cache_audio
+        self.make_fast_fn = make_fast
 
     # -- public API -------------------------------------------------------
     def generate(

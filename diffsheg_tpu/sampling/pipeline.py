@@ -41,9 +41,13 @@ class FusedPipeline:
         self._fns = {}
 
     def _num_frames(self, n_samples: int) -> int:
+        """Mel frame count, derived from the frontend itself (eval_shape)
+        so the pipeline cannot drift from MelFrontend's conventions."""
         fe = self.frontend
-        frames = 1 + (n_samples + 2 * (fe.n_fft // 2) - fe.n_fft) // fe.hop
-        return frames - 1 if fe.drop_last else frames
+        shape = jax.eval_shape(
+            fe._compute,
+            jax.ShapeDtypeStruct((1, n_samples), jnp.float32)).shape
+        return shape[1] - 1 if fe.drop_last else shape[1]
 
     def _build(self, n_mel: int, n16: Optional[int], B: int):
         fe, stream = self.frontend, self.stream

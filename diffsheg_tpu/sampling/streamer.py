@@ -212,6 +212,9 @@ class StreamingGenerator:
             # cadence: the static part (stylization mods) once per stream;
             # the audio part for ALL windows in one batched frontend pass
             # (K*B*L rows — MXU-shaped, unlike 25-row per-window matmuls).
+            # fast-path weights (pad/cast of every layer) once per stream
+            fast = gen.make_fast_fn(variables, size, has_hubert) \
+                if hasattr(gen, "make_fast_fn") else None
             if use_cache:
                 static = gen.cache_static_fn(variables, person_id)
                 mel_all = jnp.stack([slice_w(mel, s) for s in starts])
@@ -244,12 +247,13 @@ class StreamingGenerator:
                 out0, t0 = gen.sample_repaint_fn(
                     variables, mel0, person_id, hub0,
                     jnp.zeros((B, size, C)), None, keys[0],
-                    cache=cache_at(0))
+                    cache=cache_at(0), fast=fast)
                 if track_tails:
                     tails0, valid0 = t0, jnp.asarray(True)
             else:
                 out0 = gen.sample_plain_fn(variables, mel0, person_id, hub0,
-                                           keys[0], cache=cache_at(0))
+                                           keys[0], cache=cache_at(0),
+                                           fast=fast)
 
             mids = starts[1:-1]
             if mids:
@@ -268,7 +272,8 @@ class StreamingGenerator:
                         person_id, hub_w if has_hubert else None,
                         gt, tails if track_tails else None, key,
                         prev_tails_valid=valid if track_tails else None,
-                        cache=None if ac_w is None else combine(static, ac_w))
+                        cache=None if ac_w is None else combine(static, ac_w),
+                        fast=fast)
                     if not track_tails:
                         new_tails = tails
                     return ((out, new_tails, jnp.asarray(True)),
@@ -289,7 +294,7 @@ class StreamingGenerator:
                 slice_w(hubert, last_s), gt_last,
                 tails if track_tails else None, keys[-1],
                 prev_tails_valid=valid if track_tails else None,
-                cache=cache_at(K - 1))
+                cache=cache_at(K - 1), fast=fast)
 
             # on-device assembly
             res = jnp.zeros((B, T, C), dtype=jnp.float32)
