@@ -121,7 +121,10 @@ class DiffusionConfig:
     fused_layer: str = "auto"  # whole-layer Pallas kernel in the sampler
                                # ('auto' = on for TPU backends when the
                                # level cache applies; 'on' forces it —
-                               # interpret mode off-TPU; 'off' disables).
+                               # interpret mode off-TPU; 'off' disables;
+                               # 'chain' = whole-branch grid-pipelined
+                               # kernel, opt-in: slightly faster steady
+                               # state, much slower compile).
                                # See ops/fused_layer.py.
     level_cache: bool = True  # precompute all x-independent conditioning
                               # (time/pid embeddings, audio encoder,

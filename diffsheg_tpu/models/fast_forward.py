@@ -31,7 +31,8 @@ from diffsheg_tpu.models.embeddings import positional_encoding
 from diffsheg_tpu.models.level_cache import (BranchCache, ModelCache,
                                              supports_level_cache)
 from diffsheg_tpu.ops.fused_layer import (LayerParams, extract_layer_params,
-                                          fused_layer)
+                                          fused_branch, fused_layer,
+                                          stack_layer_params)
 
 
 def _round128(n: int) -> int:
@@ -51,8 +52,8 @@ class BranchFast(NamedTuple):
     out_k: jax.Array
     out_b: jax.Array
     pe: jax.Array                        # (T, L)
-    layers: Tuple[LayerParams, ...]
-    null_cond_emb: Optional[jax.Array]   # (1, c_real - latent + latent) = (1, c_real)
+    layers: LayerParams                  # stacked: leading (num_layers,) axis
+    null_cond_emb: Optional[jax.Array]   # (1, c_real)
 
 
 class FastParams(NamedTuple):
@@ -91,9 +92,9 @@ def _extract_branch(cfg: ModelConfig, p, T: int, c_real: int, c_pad: int,
         out_k=jnp.asarray(p["out"]["kernel"], dtype=dtype),
         out_b=jnp.asarray(p["out"]["bias"], dtype=dtype),
         pe=pe,
-        layers=tuple(
+        layers=stack_layer_params([
             extract_layer_params(p[f"layer_{i}"], c_real, c_pad, dtype)
-            for i in range(cfg.num_layers)),
+            for i in range(cfg.num_layers)]),
         null_cond_emb=(jnp.asarray(p["null_cond_emb"], dtype=dtype)
                        if "null_cond_emb" in p else None),
     )
@@ -120,7 +121,8 @@ def extract_fast_params(cfg: ModelConfig, variables: Dict[str, Any],
 
 def _branch_forward(cfg: ModelConfig, bp: BranchFast, x: jax.Array,
                     cache: BranchCache, exp_cond: Optional[jax.Array],
-                    cfg_inference: bool, interpret: bool) -> jax.Array:
+                    cfg_inference: bool, interpret: bool,
+                    chain: bool = False) -> jax.Array:
     """Mirror of MotionDenoiser.__call__ on the cache path
     (models/denoiser.py) with fused layers."""
     compute = jnp.dtype(cfg.compute_dtype)
@@ -135,32 +137,55 @@ def _branch_forward(cfg: ModelConfig, bp: BranchFast, x: jax.Array,
     mods = cache.mods                              # (n, 2, B, 2L)
 
     null_mask = None
+    null_emb = None
     do_cfg = (cfg_inference and cfg.classifier_free
               and cfg.cond_scale != 1.0)
+    c_real = cond.shape[-1] + cfg.latent_dim
+    c_pad = _round128(c_real)
     if do_cfg:
         x = jnp.concatenate([x, x], axis=0)
         cond = jnp.concatenate([cond, cond], axis=0)
         mods = jnp.concatenate([mods, mods], axis=2)
         # first half unconditional (reference transformer.py:331)
-        null_mask = jnp.linspace(0.0, 1.0, 2 * B) < 0.5
+        null_mask = (jnp.linspace(0.0, 1.0, 2 * B) < 0.5).astype(compute)
+        null_emb = jnp.pad(bp.null_cond_emb.astype(compute),
+                           ((0, 0), (0, c_pad - c_real)))
 
     # plain compute-dtype dots, exactly like the Flax Dense(dtype=compute)
     h = jnp.dot(x.astype(compute), bp.joint_k) + bp.joint_b
     h = h + bp.pe[None]
 
-    c_real = cond.shape[-1] + cfg.latent_dim
-    c_pad = _round128(c_real)
-    for i, lp in enumerate(bp.layers):
-        feats = jnp.concatenate([h.astype(compute), cond], axis=-1)
+    if chain:
+        # whole layer stack as ONE chain-kernel launch (grid-pipelined
+        # weight streaming); the condition is zero-padded so concat(h,
+        # cond) lands exactly on the padded feats width the stacked fc1
+        # was built for.  Opt-in (diffusion.fused_layer='chain'): the
+        # steady-state win over the per-layer kernel is small and the
+        # compile is substantially slower.
+        cond_pad = jnp.pad(cond, ((0, 0), (0, 0), (0, c_pad - c_real)))
+        h = fused_branch(h.astype(compute), cond_pad, mods, bp.layers,
+                         cfg.num_heads, c_real, null_emb=null_emb,
+                         null_mask=null_mask, interpret=interpret)
+    else:
+        n_layers = bp.layers.fp_fc1_k.shape[0]
         if null_mask is not None:
-            null = jnp.broadcast_to(
-                bp.null_cond_emb[:, None, :].astype(feats.dtype),
-                feats.shape)
-            feats = jnp.where(null_mask[:, None, None], null, feats)
-        if c_pad != c_real:
-            feats = jnp.pad(feats, ((0, 0), (0, 0), (0, c_pad - c_real)))
-        h = fused_layer(h.astype(compute), feats, mods[i, 0], mods[i, 1],
-                        lp, cfg.num_heads, c_real, interpret=interpret)
+            null_rows = null_mask[:, None, None] > 0
+        for i in range(n_layers):
+            lp = LayerParams(*(f[i] for f in bp.layers))
+            feats = jnp.concatenate([h.astype(compute), cond], axis=-1)
+            if null_mask is not None:
+                null = jnp.broadcast_to(
+                    null_emb[:, None, :].astype(feats.dtype),
+                    (*feats.shape[:2], null_emb.shape[-1]))
+                feats = jnp.where(
+                    null_rows,
+                    null[..., :feats.shape[-1]], feats)
+            if c_pad != c_real:
+                feats = jnp.pad(feats,
+                                ((0, 0), (0, 0), (0, c_pad - c_real)))
+            h = fused_layer(h.astype(compute), feats, mods[i, 0],
+                            mods[i, 1], lp, cfg.num_heads, c_real,
+                            interpret=interpret)
 
     out = (jnp.dot(h.astype(compute), bp.out_k) + bp.out_b) \
         .astype(jnp.float32)
@@ -178,15 +203,16 @@ def fast_unidiffuser_step(
     cache: ModelCache,                           # one gathered level
     cfg_inference: bool = False,
     interpret: bool = False,
+    chain: bool = False,
 ) -> jax.Array:
     """UniDiffuser forward (models/unidiffuser.py semantics) on the fast
     path: expression branch -> x0 bridge -> gesture branch."""
     gesture, expression = jnp.split(x, [cfg.pose_dim], axis=-1)
 
     exp_eps = _branch_forward(cfg, fp.exp, expression, cache.exp, None,
-                              cfg_inference, interpret)
+                              cfg_inference, interpret, chain)
     sr, srm1 = sqrt_alphas
     expr_x0 = sr * expression - srm1 * exp_eps   # x0 bridge (detached)
     ges_eps = _branch_forward(cfg, fp.ges, gesture, cache.ges, expr_x0,
-                              cfg_inference, interpret)
+                              cfg_inference, interpret, chain)
     return jnp.concatenate([ges_eps, exp_eps], axis=-1)

@@ -227,6 +227,157 @@ def fused_layer_reference(x, feats, mod_sa, mod_ffn, lp: LayerParams,
     return out.astype(x.dtype)
 
 
+def stack_layer_params(lps) -> LayerParams:
+    """Stack per-layer LayerParams along a new leading layer axis (the
+    chain kernel's grid dimension)."""
+    return LayerParams(*(jnp.stack(field) for field in zip(*lps)))
+
+
+def _chain_step(h, cond, null_emb, null_mask, mod_sa, mod_ffn, lp,
+                num_heads, c_real, cdtype):
+    """One chain-kernel grid step: assemble feats (concat + optional
+    classifier-free null substitution over the FULL concat, matching
+    models/blocks.py) then run the layer math."""
+    feats = jnp.concatenate([h.astype(cond.dtype), cond], axis=-1)
+    if null_emb is not None:
+        m = null_mask.astype(feats.dtype)  # scalar 0/1 for this batch row
+        feats = feats * (1.0 - m) + null_emb.astype(feats.dtype) * m
+    return _layer_math(h, feats, mod_sa, mod_ffn, lp, num_heads, c_real,
+                       cdtype)
+
+
+def fused_branch_reference(x, cond, mods, slp: LayerParams, num_heads: int,
+                           c_real: int, null_emb=None,
+                           null_mask=None) -> jax.Array:
+    """jnp oracle for the chain kernel: sequential layers, vmapped batch.
+
+    x (B,T,L); cond (B,T,Cp-L) zero-padded; mods (n,2,B,2L);
+    slp stacked over layers; null_mask (B,) float 0/1 or None.
+    """
+    cdtype = slp.q_k.dtype
+    n_layers = slp.fp_fc1_k.shape[0]
+    B = x.shape[0]
+    out = []
+    for b in range(B):
+        h = x[b]
+        for i in range(n_layers):
+            lp = LayerParams(*(f[i] for f in slp))
+            h = _chain_step(
+                h, cond[b],
+                None if null_emb is None else null_emb[0],
+                None if null_mask is None else null_mask[b],
+                mods[i, 0, b], mods[i, 1, b], lp, num_heads, c_real, cdtype)
+        out.append(h)
+    return jnp.stack(out).astype(x.dtype)
+
+
+def _chain_kernel(num_heads, c_real, cdtype, use_null,
+                  x_ref, cond_ref, null_emb_ref, null_mask_ref, mods_ref,
+                  *rest):
+    lp = LayerParams(*(r[0] for r in rest[:-1]))
+    o_ref = rest[-1]
+    layer = pl.program_id(1)
+
+    @pl.when(layer == 0)
+    def _init():
+        o_ref[0] = x_ref[0]
+
+    h = o_ref[0]
+    out = _chain_step(
+        h, cond_ref[0],
+        null_emb_ref[0] if use_null else None,
+        null_mask_ref[0, 0, 0] if use_null else None,
+        mods_ref[0, 0, 0, 0], mods_ref[0, 1, 0, 0],
+        lp, num_heads, c_real, cdtype)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
+                 cond: jax.Array,     # (B, T, Cp - L) condition, zero-padded
+                 mods: jax.Array,     # (num_layers, 2, B, 2L)
+                 slp: LayerParams,    # stacked over layers
+                 num_heads: int,
+                 c_real: int,
+                 null_emb: Optional[jax.Array] = None,   # (1, Cp)
+                 null_mask: Optional[jax.Array] = None,  # (B,) 0/1 rows
+                 interpret: bool = False) -> jax.Array:
+    """A whole denoiser branch's layer stack as ONE Pallas program.
+
+    The grid is (batch, layer): Mosaic revisits the same output block for
+    every layer of a row (the running hidden state stays in VMEM) while
+    the NEXT layer's weight blocks are DMA-prefetched during the current
+    layer's compute — the weights stream from HBM exactly once per call,
+    overlapped with the MXU work, and the 16 per-layer dispatches plus
+    per-layer concat/pad ops collapse into one launch per branch.
+    """
+    if not _HAS_PALLAS:  # pragma: no cover
+        return fused_branch_reference(x, cond, mods, slp, num_heads, c_real,
+                                      null_emb, null_mask)
+    B, T, L = x.shape
+    n_layers = slp.fp_fc1_k.shape[0]
+    Cp = L + cond.shape[-1]
+    use_null = null_emb is not None
+    if not use_null:  # uniform operand list either way
+        null_emb = jnp.zeros((1, Cp), dtype=x.dtype)
+        null_mask = jnp.zeros((B,), dtype=x.dtype)
+    null_mask3 = null_mask.reshape(B, 1, 1).astype(x.dtype)
+    mods5 = mods[:, :, :, None, :]               # (n, 2, B, 1, 2L)
+    cdtype = slp.q_k.dtype
+    # stacked per-layer vectors (n, D) would make (1, D) blocks, violating
+    # Mosaic's last-two-dims rule for n>1 — lift them to (n, 1, D); the
+    # (1, D) in-kernel view broadcasts identically against (T, D)
+    slp = LayerParams(*(f[:, None, :] if f.ndim == 2 else f for f in slp))
+
+    def by_batch(shape):
+        return pl.BlockSpec((1,) + tuple(shape[1:]),
+                            lambda b, l: (b,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def by_layer(arr):
+        return pl.BlockSpec((1,) + arr.shape[1:],
+                            lambda b, l: (l,) + (0,) * (arr.ndim - 1),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        by_batch(x.shape),
+        by_batch(cond.shape),
+        pl.BlockSpec(null_emb.shape, lambda b, l: (0, 0),
+                     memory_space=pltpu.VMEM),
+        by_batch(null_mask3.shape),
+        pl.BlockSpec((1, 2, 1, 1, mods.shape[-1]),
+                     lambda b, l: (l, 0, b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs += [by_layer(p) for p in slp]
+
+    F = int(slp.ffn_l1_b.shape[-1])
+    flops = 2 * B * n_layers * T * (Cp * 2 * L + 2 * L * L + 5 * L * L
+                                    + 2 * L * F) \
+        + 4 * B * n_layers * T * L * (L // num_heads)
+    weight_bytes = sum(p.size * p.dtype.itemsize for p in slp)
+    kwargs = {}
+    if not interpret:
+        # one layer's weights (~8 MB at the shipped width) double-buffered
+        # exceeds the default 16 MB scoped-vmem budget; v5e has 128 MB
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, num_heads, c_real, cdtype,
+                          use_null),
+        grid=(B, n_layers),
+        in_specs=in_specs,
+        out_specs=by_batch(x.shape),
+        out_shape=jax.ShapeDtypeStruct((B, T, L), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=weight_bytes + 3 * B * T * L * x.dtype.itemsize,
+            transcendentals=B * n_layers * T * (4 * L + F),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(x, cond, null_emb, null_mask3, mods5, *slp)
+
+
 def _kernel(num_heads, c_real, cdtype,
             x_ref, feats_ref, mod_sa_ref, mod_ffn_ref, *rest):
     lp = LayerParams(*(r[...] for r in rest[:-1]))

@@ -112,9 +112,11 @@ class WindowGenerator:
         use_fast = (
             use_cache
             and supports_fast_forward(mcfg)
-            and (fused_mode == "on" or (fused_mode == "auto" and on_tpu))
+            and (fused_mode in ("on", "chain")
+                 or (fused_mode == "auto" and on_tpu))
         )
         self._use_fused_layer = use_fast
+        fast_chain = fused_mode == "chain"
         fast_interpret = not on_tpu
 
         def build_cache(variables, mel, pid, hubert):
@@ -167,7 +169,7 @@ class WindowGenerator:
                     return fast_unidiffuser_step(
                         mcfg, fast, x, (sr, srm1), gather_level(cache, t[0]),
                         cfg_inference=mcfg.uses_cfg_at_inference,
-                        interpret=fast_interpret)
+                        interpret=fast_interpret, chain=fast_chain)
                 kw = {}
                 if cache is not None:
                     kw["cache"] = gather_level(cache, t[0])

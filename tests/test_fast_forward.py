@@ -182,3 +182,93 @@ class TestFusedStreamIntegration:
         b = s_off.generate_fused(mel, pid, rng, hubert=hub)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-3, rtol=2e-3)
+
+
+class TestFusedBranchChain:
+    def test_chain_matches_per_layer(self):
+        """The grid-pipelined chain kernel == per-layer composition."""
+        from diffsheg_tpu.ops.fused_layer import (fused_branch,
+                                                  stack_layer_params)
+        from diffsheg_tpu.models.blocks import DiffusionTransformerLayer
+        B, T, L, H, n = 2, 13, 64, 4, 3
+        Cc = 35                      # cond width; c_real = 99, pad to 128
+        c_real, c_pad = L + Cc, 128
+        layer = DiffusionTransformerLayer(L, 2 * L, H)
+        lps, refs = [], []
+        key = jax.random.PRNGKey(11)
+        x = jax.random.normal(key, (B, T, L))
+        cond = jax.random.normal(jax.random.fold_in(key, 1), (B, T, Cc))
+        emb = jax.random.normal(jax.random.fold_in(key, 2), (B, 4 * L))
+        mask = jnp.ones((B, T, 1))
+        import flax.linen as nn
+        h_ref = x
+        mods = []
+        for i in range(n):
+            variables = layer.init(jax.random.fold_in(key, 10 + i),
+                                   h_ref, cond, emb, mask)
+            p = variables["params"]
+            h_ref = layer.apply(variables, h_ref, cond, emb, mask)
+            lps.append(extract_layer_params(p, c_real, c_pad, jnp.float32))
+            mods.append(jnp.stack([
+                nn.Dense(2 * L).apply(
+                    {"params": p["sa_block"]["proj_out"]["emb_proj"]},
+                    nn.silu(emb)),
+                nn.Dense(2 * L).apply(
+                    {"params": p["ffn"]["proj_out"]["emb_proj"]},
+                    nn.silu(emb))]))
+        slp = stack_layer_params(lps)
+        mods = jnp.stack(mods)       # (n, 2, B, 2L)
+        cond_pad = jnp.pad(cond, ((0, 0), (0, 0), (0, c_pad - c_real)))
+        got = fused_branch(x, cond_pad, mods, slp, H, c_real,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(h_ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_chain_null_substitution(self):
+        """Per-row null substitution inside the chain == Flax where()."""
+        from diffsheg_tpu.ops.fused_layer import (fused_branch,
+                                                  fused_branch_reference,
+                                                  stack_layer_params)
+        from diffsheg_tpu.models.blocks import DiffusionTransformerLayer
+        B, T, L, H, n = 2, 9, 64, 4, 2
+        Cc, c_real, c_pad = 35, 99, 128
+        key = jax.random.PRNGKey(12)
+        layer = DiffusionTransformerLayer(L, 2 * L, H)
+        variables = layer.init(key, jnp.zeros((B, T, L)),
+                               jnp.zeros((B, T, Cc)), jnp.zeros((B, 4 * L)),
+                               jnp.ones((B, T, 1)))
+        lp = extract_layer_params(variables["params"], c_real, c_pad,
+                                  jnp.float32)
+        slp = stack_layer_params([lp] * n)
+        x = jax.random.normal(jax.random.fold_in(key, 1), (B, T, L))
+        cond = jax.random.normal(jax.random.fold_in(key, 2), (B, T, Cc))
+        mods = jax.random.normal(jax.random.fold_in(key, 3),
+                                 (n, 2, B, 2 * L))
+        null_emb = jnp.pad(
+            jax.random.normal(jax.random.fold_in(key, 4), (1, c_real)),
+            ((0, 0), (0, c_pad - c_real)))
+        null_mask = jnp.array([1.0, 0.0])
+        cond_pad = jnp.pad(cond, ((0, 0), (0, 0), (0, c_pad - c_real)))
+        got = fused_branch(x, cond_pad, mods, slp, H, c_real,
+                           null_emb=null_emb, null_mask=null_mask,
+                           interpret=True)
+        ref = fused_branch_reference(x, cond_pad, mods, slp, H, c_real,
+                                     null_emb=null_emb, null_mask=null_mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_chain_mode_generator_matches_per_layer(self):
+        """fused_layer='chain' must equal 'on' through the generator."""
+        cfg = tiny(beat_config())
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(13), batch=1)
+        mk = lambda mode: WindowGenerator(
+            cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer=mode)), variables)
+        g_chain, g_layer = mk("chain"), mk("on")
+        mel, pid, hub, _ = make_inputs(cfg, jax.random.PRNGKey(14), B=1)
+        k = jax.random.PRNGKey(15)
+        np.testing.assert_allclose(
+            np.asarray(g_chain.generate(mel, pid, k, hub)),
+            np.asarray(g_layer.generate(mel, pid, k, hub)),
+            atol=2e-3, rtol=2e-3)
