@@ -31,6 +31,9 @@ BASELINE_FPS = 55.0  # A100, inference_custom_audio_beat.sh:15
 def main():
     import dataclasses
 
+    from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
     from diffsheg_tpu.audio.mel import MelFrontend
     from diffsheg_tpu.config import beat_config

@@ -385,6 +385,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     return args.fn(args)
 
 

@@ -22,6 +22,9 @@ BASELINE_FPS = 120.0  # A100, inference_custom_audio_show.sh:18
 
 
 def main():
+    from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
     from diffsheg_tpu.audio.mel import MelFrontend
     from diffsheg_tpu.config import show_config
