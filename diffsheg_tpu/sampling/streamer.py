@@ -188,7 +188,6 @@ class StreamingGenerator:
         # static layout facts (starts are uniform except a possibly
         # left-shifted final window)
         last_s = starts[-1]
-        last_tail_from = last_s - starts[-2] if K > 1 else 0
         emitted_before_last = starts[-2] + step if K > 1 else 0
         last_new_from = emitted_before_last - last_s  # >= 0, static
 
@@ -255,58 +254,52 @@ class StreamingGenerator:
                                            keys[0], cache=cache_at(0),
                                            fast=fast)
 
-            mids = starts[1:-1]
-            if mids:
-                mel_mid = jnp.stack([slice_w(mel, s) for s in mids])
-                hub_mid = (jnp.stack([slice_w(hubert, s) for s in mids])
-                           if has_hubert else jnp.zeros((len(mids),)))
-                ac_mid = (jax.tree.map(lambda a: a[1:-1], ac)
-                          if use_cache else None)
+            # ALL continuation windows — the uniform mids AND the possibly
+            # left-shifted final window — share ONE scan body (one sampler
+            # program to compile instead of two): the only per-window
+            # variation, the offset of the pinned head inside the previous
+            # window, rides the scan xs as a dynamic-slice start.
+            conts = starts[1:]
+            mel_c = jnp.stack([slice_w(mel, s) for s in conts])
+            hub_c = (jnp.stack([slice_w(hubert, s) for s in conts])
+                     if has_hubert else jnp.zeros((len(conts),)))
+            ac_c = (jax.tree.map(lambda a: a[1:], ac)
+                    if use_cache else None)
+            tail_from = jnp.asarray(
+                [conts[j] - starts[j] for j in range(len(conts))],
+                dtype=jnp.int32)
 
-                def body(carry, inp):
-                    prev_out, tails, valid = carry
-                    mel_w, hub_w, key, ac_w = inp
-                    gt = with_head(prev_out[:, step:])
-                    out, new_tails = gen.sample_repaint_fn(
-                        variables, mel_w,
-                        person_id, hub_w if has_hubert else None,
-                        gt, tails if track_tails else None, key,
-                        prev_tails_valid=valid if track_tails else None,
-                        cache=None if ac_w is None else combine(static, ac_w),
-                        fast=fast)
-                    if not track_tails:
-                        new_tails = tails
-                    return ((out, new_tails, jnp.asarray(True)),
-                            out[:, :step])
+            def body(carry, inp):
+                prev_out, tails, valid = carry
+                mel_w, hub_w, key, ac_w, tf = inp
+                gt = with_head(jax.lax.dynamic_slice_in_dim(
+                    prev_out, tf, overlap, axis=1))
+                out, new_tails = gen.sample_repaint_fn(
+                    variables, mel_w,
+                    person_id, hub_w if has_hubert else None,
+                    gt, tails if track_tails else None, key,
+                    prev_tails_valid=valid if track_tails else None,
+                    cache=None if ac_w is None else combine(static, ac_w),
+                    fast=fast)
+                if not track_tails:
+                    new_tails = tails
+                return ((out, new_tails, jnp.asarray(True)), out)
 
-                (prev_out, tails, valid), mid_emit = jax.lax.scan(
-                    body, (out0, tails0, valid0),
-                    (mel_mid, hub_mid, keys[1:-1], ac_mid))
-            else:
-                prev_out, mid_emit = out0, None
-                tails, valid = tails0, valid0
-
-            # final window (left-shifted when the stride doesn't divide)
-            gt_last = with_head(
-                prev_out[:, last_tail_from:last_tail_from + overlap])
-            out_last, _ = gen.sample_repaint_fn(
-                variables, slice_w(mel, last_s), person_id,
-                slice_w(hubert, last_s), gt_last,
-                tails if track_tails else None, keys[-1],
-                prev_tails_valid=valid if track_tails else None,
-                cache=cache_at(K - 1), fast=fast)
+            _, outs = jax.lax.scan(
+                body, (out0, tails0, valid0),
+                (mel_c, hub_c, keys[1:], ac_c, tail_from))
 
             # on-device assembly
             res = jnp.zeros((B, T, C), dtype=jnp.float32)
             res = jax.lax.dynamic_update_slice_in_dim(
                 res, out0[:, :step], 0, axis=1)
-            if mid_emit is not None:
-                flat = jnp.moveaxis(mid_emit, 0, 1).reshape(
-                    B, len(mids) * step, C)
+            if K > 2:  # uniform mids: one bulk write of their new frames
+                flat = jnp.moveaxis(outs[:-1, :, :step], 0, 1).reshape(
+                    B, (K - 2) * step, C)
                 res = jax.lax.dynamic_update_slice_in_dim(
                     res, flat, step, axis=1)
             res = jax.lax.dynamic_update_slice_in_dim(
-                res, out_last[:, last_new_from:],
+                res, outs[-1][:, last_new_from:],
                 last_s + last_new_from, axis=1)
             return res
 

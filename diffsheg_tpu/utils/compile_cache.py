@@ -9,6 +9,11 @@ expects.
 
 Enabled by the CLI and the benchmarks; opt out with
 DIFFSHEG_NO_COMPILE_CACHE=1 or redirect with DIFFSHEG_COMPILE_CACHE=<dir>.
+
+Caveat observed on this development environment: its remote-compile TPU
+plugin serves small executables from the cache but recompiles the large
+Mosaic-containing serving pipeline; on standard TPU runtimes the cache
+covers those too, so it stays enabled.
 """
 
 from __future__ import annotations
