@@ -1,0 +1,212 @@
+"""Live streaming speech-to-motion session.
+
+The reference (and the offline CLI here) processes complete audio files
+(trainers/ddpm_beat_trainer.py:1123-1346).  The model itself is causal at
+window granularity — each 34-frame window depends only on its own audio
+span and the previous window's tail via RePaint — so generation can run
+WHILE audio arrives.  ``LiveSession`` exposes that: push waveform chunks
+as they are captured, pull motion frames as windows complete.
+
+Latency characteristics (BEAT config, one v5e chip, steady state): a
+window covers ``step/fps`` = 2.0 s of motion and costs ~70 ms to denoise
+(27 ms dispatch + ~40 ms compute), so the session sustains real time with
+~2.3 s algorithmic latency (one window of lookahead) + ~0.1 s compute.
+
+Fixed compiled signatures (nothing recompiles as audio grows):
+  - mel: each window's frames come from a FIXED-length segment of the
+    head-padded waveform — frame t of a centered STFT reads exactly
+    ``padded[t*hop : t*hop + n_fft]``, so per-window mel equals the
+    offline frontend's values bit-for-bit away from the sequence end;
+  - HuBERT: window-local context (the window's own time span), one static
+    shape.  This DIFFERS from the offline chunker, which attends over
+    20 s clips (audio/hubert_runner.py) — a documented live-mode
+    approximation; quality-critical offline use should batch-process.
+  - sampler: the same compiled window programs the offline streamer uses
+    (plain first window, RePaint continuation windows), same per-window
+    key chain, so a session and the offline host-loop path walk identical
+    programs.
+
+``finish()`` drains the tail with the reference's left-shifted final
+window (streamer.window_starts semantics) using the offline mel frontend
+for the end-padding-dependent frames.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffsheg_tpu.audio.mel import hann_window, mel_filterbank, stft_magsq
+from diffsheg_tpu.models.factory import denoised_channels
+from diffsheg_tpu.sampling.generator import WindowGenerator
+
+
+class LiveSession:
+    """One incremental generation session (one audio stream, B styles).
+
+    Args:
+      gen: compiled window generator (owns model + schedule + config).
+      person_id: (B, style_dim) speaker one-hot(s).
+      rng: session key; the per-window key chain matches the offline
+        streamer, so a fully-pushed session reproduces offline sampling.
+      hubert_extractor: optional HubertFeatureExtractor for speech
+        features (window-local context in live mode).
+    """
+
+    def __init__(self, gen: WindowGenerator, person_id: jax.Array,
+                 rng: jax.Array, hubert_extractor=None):
+        cfg = gen.cfg
+        self.gen = gen
+        self.cfg = cfg
+        self.pid = person_id
+        self.rng = rng
+        self.hubert_fe = hubert_extractor
+
+        d = cfg.data
+        self.size = d.n_poses
+        self.step = self.size - cfg.stream.overlap_len
+        self.overlap = cfg.stream.overlap_len
+        self.sr = d.mel_sr
+        self.hop = d.mel_hop
+        self.n_fft = 2048
+        self.fps = d.fps
+
+        self._audio = np.zeros(0, dtype=np.float32)      # mel-rate samples
+        self._audio16 = np.zeros(0, dtype=np.float32)    # 16 kHz samples
+        self._chunks: List[np.ndarray] = []              # emitted motion
+        self._next_start = 0                             # next window start
+        self._prev_out: Optional[jax.Array] = None
+        self._finished = False
+
+        self._window = jnp.asarray(hann_window(self.n_fft))
+        self._filters = jnp.asarray(
+            mel_filterbank(self.sr, self.n_fft, d.n_mels).T)
+        self._seg_len = (self.size - 1) * self.hop + self.n_fft
+
+        @jax.jit
+        def mel_segment(seg):
+            power = stft_magsq(seg[None], self.n_fft, self.hop,
+                               self._window, center=False)
+            return power @ self._filters          # (1, size, n_mels)
+
+        self._mel_segment = mel_segment
+
+    # -- audio bookkeeping -------------------------------------------------
+    def _padded_len_needed(self, s: int) -> int:
+        """Raw samples needed before window [s, s+size) is stable: its last
+        frame reads padded[(s+size-1)*hop : ... + n_fft], and the head pad
+        contributes n_fft//2 samples."""
+        return (s + self.size - 1) * self.hop + self.n_fft - self.n_fft // 2
+
+    def _window_mel(self, s: int) -> jax.Array:
+        pad = self.n_fft // 2
+        head = self._audio[1:pad + 1][::-1]       # reflect, librosa-style
+        padded_start = s * self.hop
+        lo = padded_start - pad                   # index into raw audio
+        if lo < 0:
+            seg = np.concatenate([head[lo:], self._audio[:lo + self._seg_len]])
+        else:
+            seg = self._audio[lo:lo + self._seg_len]
+        assert len(seg) == self._seg_len, (len(seg), self._seg_len)
+        return self._mel_segment(jnp.asarray(seg))
+
+    def _window_hubert(self, s: int) -> Optional[jax.Array]:
+        if self.hubert_fe is None:
+            return None
+        t0 = s / self.fps
+        n = int(self.size / self.fps * 16000)
+        lo = min(int(t0 * 16000), max(0, len(self._audio16) - n))
+        seg = self._audio16[lo:lo + n]
+        if len(seg) < n:
+            seg = np.pad(seg, (0, n - len(seg)))
+        return self.hubert_fe(jnp.asarray(seg)[None],
+                              target_frames=self.size)
+
+    # -- window machinery --------------------------------------------------
+    def _run_window(self, mel_w: jax.Array, hub_w) -> jax.Array:
+        self.rng, k = jax.random.split(self.rng)
+        B = self.pid.shape[0]
+        mel_b = jnp.broadcast_to(mel_w, (B,) + mel_w.shape[1:])
+        hub_b = (jnp.broadcast_to(hub_w, (B,) + hub_w.shape[1:])
+                 if hub_w is not None else None)
+        if self._prev_out is None:
+            out = self.gen.generate(mel_b, self.pid, k, hub_b)
+        else:
+            tail_from = self._next_start - self._last_start
+            gt_head = self._prev_out[:, tail_from:tail_from + self.overlap]
+            out = self.gen.generate(mel_b, self.pid, k, hub_b,
+                                    gt_head=gt_head)
+            if isinstance(out, tuple):  # same_overlap_noisy returns tails
+                out = out[0]
+        return out
+
+    def push(self, samples: np.ndarray,
+             samples_16k: Optional[np.ndarray] = None) -> np.ndarray:
+        """Append captured audio; run every window that became stable.
+
+        Returns the motion frames emitted by this push, (B, new_T, C)
+        (new_T may be 0).
+        """
+        assert not self._finished, "session already finished"
+        self._audio = np.concatenate(
+            [self._audio, np.asarray(samples, dtype=np.float32).ravel()])
+        if samples_16k is not None:
+            self._audio16 = np.concatenate(
+                [self._audio16,
+                 np.asarray(samples_16k, dtype=np.float32).ravel()])
+
+        emitted = []
+        while len(self._audio) >= self._padded_len_needed(self._next_start):
+            s = self._next_start
+            out = self._run_window(self._window_mel(s), self._window_hubert(s))
+            emitted.append(np.asarray(out[:, :self.step]))
+            self._last_start = s
+            self._prev_out = out
+            self._next_start = s + self.step
+        if emitted:
+            self._chunks.extend(emitted)
+            return np.concatenate(emitted, axis=1)
+        return np.zeros((self.pid.shape[0], 0,
+                         denoised_channels(self.cfg.model)),
+                        dtype=np.float32)
+
+    def finish(self) -> np.ndarray:
+        """Drain the tail (left-shifted final window, offline mel for the
+        end-padding-dependent frames) and return the FULL session motion
+        (B, T, C)."""
+        assert not self._finished
+        self._finished = True
+        from diffsheg_tpu.audio.mel import MelFrontend
+
+        T = len(self._audio) // self.hop          # offline frame count
+        done = len(self._chunks) * self.step      # frames emitted so far
+        if T > done:
+            fe = MelFrontend(sr=self.sr, n_fft=self.n_fft, hop=self.hop,
+                             n_mels=self.cfg.data.n_mels)
+            mel_full = fe(jnp.asarray(self._audio)[None])
+            if self._prev_out is None:
+                # never emitted: short-clip semantics (pad-and-trim)
+                from diffsheg_tpu.sampling.streamer import StreamingGenerator
+                self.rng, k = jax.random.split(self.rng)
+                B = self.pid.shape[0]
+                mel_b = jnp.broadcast_to(mel_full,
+                                         (B,) + mel_full.shape[1:])
+                hub_w = self._window_hubert(0)
+                hub_b = (jnp.broadcast_to(hub_w, (B,) + hub_w.shape[1:])
+                         if hub_w is not None else None)
+                out = StreamingGenerator(self.gen).generate(
+                    mel_b, self.pid, k, hub_b)
+                self._chunks.append(np.asarray(out[:, :T]))
+            else:
+                s = T - self.size                 # left-shifted final window
+                mel_w = mel_full[:, s:s + self.size]
+                out = self._run_window(mel_w, self._window_hubert(s))
+                new_from = done - s
+                self._chunks.append(np.asarray(out[:, new_from:]))
+        return np.concatenate(self._chunks, axis=1) if self._chunks \
+            else np.zeros((self.pid.shape[0], 0,
+                           denoised_channels(self.cfg.model)),
+                          dtype=np.float32)
