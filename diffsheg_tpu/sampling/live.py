@@ -79,6 +79,7 @@ class LiveSession:
         self._chunks: List[np.ndarray] = []              # emitted motion
         self._next_start = 0                             # next window start
         self._prev_out: Optional[jax.Array] = None
+        self._prev_tails = None                          # same_overlap_noisy
         self._finished = False
 
         self._window = jnp.asarray(hann_window(self.n_fft))
@@ -95,11 +96,24 @@ class LiveSession:
         self._mel_segment = mel_segment
 
     # -- audio bookkeeping -------------------------------------------------
-    def _padded_len_needed(self, s: int) -> int:
-        """Raw samples needed before window [s, s+size) is stable: its last
-        frame reads padded[(s+size-1)*hop : ... + n_fft], and the head pad
-        contributes n_fft//2 samples."""
-        return (s + self.size - 1) * self.hop + self.n_fft - self.n_fft // 2
+    def _window_ready(self, s: int) -> bool:
+        """Window [s, s+size) may run only when (a) the offline frame plan
+        would contain it — frame count T = n//hop (drop_last) satisfies
+        T >= s+size, so the live window set is always a prefix of
+        window_starts(T_final) — (b) its last frame's analysis span is
+        fully captured (n >= (s+size-1)*hop + n_fft/2), and (c) when
+        HuBERT is active, the 16 kHz stream has the window's whole time
+        span (the mel gate alone fires ~10 ms early)."""
+        end = s + self.size
+        n = len(self._audio)
+        if n // self.hop < end:
+            return False
+        if n < (end - 1) * self.hop + self.n_fft // 2:
+            return False
+        if self.hubert_fe is not None:
+            if len(self._audio16) < int(np.ceil(end / self.fps * 16000)):
+                return False
+        return True
 
     def _window_mel(self, s: int) -> jax.Array:
         pad = self.n_fft // 2
@@ -125,8 +139,16 @@ class LiveSession:
         return self.hubert_fe(jnp.asarray(seg)[None],
                               target_frames=self.size)
 
+    def _offline_mel(self) -> jax.Array:
+        """Full-clip mel (centered, drop_last), reusing the session's
+        window/filterbank — for the finish() frames whose analysis spans
+        need the sequence-end padding."""
+        power = stft_magsq(jnp.asarray(self._audio)[None], self.n_fft,
+                           self.hop, self._window, center=True)
+        return (power @ self._filters)[:, :-1]
+
     # -- window machinery --------------------------------------------------
-    def _run_window(self, mel_w: jax.Array, hub_w) -> jax.Array:
+    def _run_window(self, s: int, mel_w: jax.Array, hub_w) -> jax.Array:
         self.rng, k = jax.random.split(self.rng)
         B = self.pid.shape[0]
         mel_b = jnp.broadcast_to(mel_w, (B,) + mel_w.shape[1:])
@@ -135,12 +157,13 @@ class LiveSession:
         if self._prev_out is None:
             out = self.gen.generate(mel_b, self.pid, k, hub_b)
         else:
-            tail_from = self._next_start - self._last_start
+            tail_from = s - self._last_start
             gt_head = self._prev_out[:, tail_from:tail_from + self.overlap]
             out = self.gen.generate(mel_b, self.pid, k, hub_b,
-                                    gt_head=gt_head)
-            if isinstance(out, tuple):  # same_overlap_noisy returns tails
-                out = out[0]
+                                    gt_head=gt_head,
+                                    prev_saved_tails=self._prev_tails)
+        if isinstance(out, tuple):      # same_overlap_noisy: thread tails
+            out, self._prev_tails = out
         return out
 
     def push(self, samples: np.ndarray,
@@ -159,9 +182,10 @@ class LiveSession:
                  np.asarray(samples_16k, dtype=np.float32).ravel()])
 
         emitted = []
-        while len(self._audio) >= self._padded_len_needed(self._next_start):
+        while self._window_ready(self._next_start):
             s = self._next_start
-            out = self._run_window(self._window_mel(s), self._window_hubert(s))
+            out = self._run_window(s, self._window_mel(s),
+                                   self._window_hubert(s))
             emitted.append(np.asarray(out[:, :self.step]))
             self._last_start = s
             self._prev_out = out
@@ -179,31 +203,36 @@ class LiveSession:
         (B, T, C)."""
         assert not self._finished
         self._finished = True
-        from diffsheg_tpu.audio.mel import MelFrontend
-
         T = len(self._audio) // self.hop          # offline frame count
         done = len(self._chunks) * self.step      # frames emitted so far
         if T > done:
-            fe = MelFrontend(sr=self.sr, n_fft=self.n_fft, hop=self.hop,
-                             n_mels=self.cfg.data.n_mels)
-            mel_full = fe(jnp.asarray(self._audio)[None])
             if self._prev_out is None:
-                # never emitted: short-clip semantics (pad-and-trim)
+                # never emitted: short-clip semantics (pad-and-trim); the
+                # session rng passes through unsplit, exactly like the
+                # offline streamer's _short_sequence path
                 from diffsheg_tpu.sampling.streamer import StreamingGenerator
-                self.rng, k = jax.random.split(self.rng)
+                mel_full = self._offline_mel()
                 B = self.pid.shape[0]
                 mel_b = jnp.broadcast_to(mel_full,
                                          (B,) + mel_full.shape[1:])
-                hub_w = self._window_hubert(0)
-                hub_b = (jnp.broadcast_to(hub_w, (B,) + hub_w.shape[1:])
-                         if hub_w is not None else None)
+                hub_b = None
+                if self.hubert_fe is not None:
+                    hub_w = self.hubert_fe(jnp.asarray(self._audio16)[None],
+                                           target_frames=T)
+                    hub_b = jnp.broadcast_to(hub_w, (B,) + hub_w.shape[1:])
                 out = StreamingGenerator(self.gen).generate(
-                    mel_b, self.pid, k, hub_b)
+                    mel_b, self.pid, self.rng, hub_b)
                 self._chunks.append(np.asarray(out[:, :T]))
+            elif T <= self._last_start + self.size:
+                # the already-sampled last window covers through T: emit
+                # its remaining frames (offline's final window emits its
+                # full size, ddpm_beat_trainer.py:1305-1309)
+                self._chunks.append(np.asarray(
+                    self._prev_out[:, self.step:self.step + (T - done)]))
             else:
                 s = T - self.size                 # left-shifted final window
-                mel_w = mel_full[:, s:s + self.size]
-                out = self._run_window(mel_w, self._window_hubert(s))
+                mel_w = self._offline_mel()[:, s:s + self.size]
+                out = self._run_window(s, mel_w, self._window_hubert(s))
                 new_from = done - s
                 self._chunks.append(np.asarray(out[:, new_from:]))
         return np.concatenate(self._chunks, axis=1) if self._chunks \

@@ -30,14 +30,24 @@ def enable_persistent_cache(default_dir: str | None = None) -> str | None:
     if os.environ.get("DIFFSHEG_NO_COMPILE_CACHE"):
         return None
     cache_dir = os.environ.get("DIFFSHEG_COMPILE_CACHE") or default_dir
-    if cache_dir is None:
+    candidates = []
+    if cache_dir is not None:
+        candidates.append(cache_dir)
+    else:
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
-        cache_dir = os.path.join(repo_root, ".cache", "xla")
-    os.makedirs(cache_dir, exist_ok=True)
-    import jax
+        candidates.append(os.path.join(repo_root, ".cache", "xla"))
+        candidates.append(os.path.join(
+            os.path.expanduser("~"), ".cache", "diffsheg_tpu", "xla"))
+    for cand in candidates:
+        try:
+            os.makedirs(cand, exist_ok=True)
+        except OSError:
+            continue  # e.g. read-only site-packages install
+        import jax
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache anything that took meaningful compile time
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    return cache_dir
+        jax.config.update("jax_compilation_cache_dir", cand)
+        # cache anything that took meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cand
+    return None
