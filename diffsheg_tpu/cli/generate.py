@@ -55,9 +55,8 @@ class CustomAudioPipeline:
         self.streamer = StreamingGenerator(self.generator)
         self.motion_mean = motion_mean
         self.motion_std = motion_std
-        from diffsheg_tpu.geometry.rotations import axis_angle_to_euler
-        self._aa_to_euler = jax.jit(lambda x: axis_angle_to_euler(x, "XYZ"))
         self._pipe = None  # lazy FusedPipeline (single-dispatch serving)
+        self._exporter = None  # lazy BeatMotionExporter (jits kept warm)
         self.hubert_extractor = None
         if cfg.model.add_hubert:
             import sys
@@ -172,9 +171,14 @@ class CustomAudioPipeline:
         from diffsheg_tpu.sampling.export import BeatMotionExporter
 
         assert self.motion_mean is not None, "need dataset stats for export"
-        exporter = BeatMotionExporter(
-            self.cfg.model.pose_dim, self.cfg.data.fps,
-            self.motion_mean, self.motion_std, template_bvh)
+        # one exporter per pipeline: its axis-angle->euler jit stays warm
+        # across clips instead of retracing per export
+        if self._exporter is None or \
+                self._exporter.template_bvh != template_bvh:
+            self._exporter = BeatMotionExporter(
+                self.cfg.model.pose_dim, self.cfg.data.fps,
+                self.motion_mean, self.motion_std, template_bvh)
+        exporter = self._exporter
         written: List[str] = []
         for b in range(motion.shape[0]):
             written += exporter.export(motion[b], out_dir, f"{name}_{b}")

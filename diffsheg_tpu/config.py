@@ -275,9 +275,14 @@ def resolve(cfg: Config) -> Config:
         no_hand = 33 if is_beat else 39
         if model.pose_dim == full:
             model = dataclasses.replace(model, pose_dim=no_hand)
+    # --audio_feat selects the SHOW conditioning width (runner.py:210-217
+    # lives in the SHOW branch; the BEAT pipeline always emits mel).  Only
+    # rewrite when audio_dim is still at its preset default, so an
+    # explicit --set model.audio_dim=... wins.
     feat_dim = {"mel": cfg.data.n_mels, "mfcc": cfg.data.n_mfcc,
                 "raw": 1}.get(cfg.data.audio_feat)
-    if feat_dim is not None and model.audio_dim != feat_dim:
+    if (feat_dim is not None and cfg.data.dataset_name != "beat"
+            and model.audio_dim == 128 and model.audio_dim != feat_dim):
         model = dataclasses.replace(model, audio_dim=feat_dim)
     return cfg.replace(model=model) if model is not cfg.model else cfg
 

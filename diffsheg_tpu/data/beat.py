@@ -258,7 +258,9 @@ def build_beat_cache(
             return None
         word = _labels(cfg.word_rep)
         emo = _labels(cfg.emo_rep)
-        sentinel = np.asarray([-1], dtype=np.int32)  # reference beat.py:348
+        # (the reference stores a 1-element [-1] sentinel, beat.py:348;
+        # here the sentinel is window-length so the cache field is never
+        # ragged — ragged fields are dropped at batch time)
 
         # clamp all modalities to the common whole-second duration
         # (beat.py:281-297)
@@ -291,6 +293,7 @@ def build_beat_cache(
             audio_w.append(audio[a_s:a_s + audio_len])
             facial_w.append(facial[s:s + length])
             sem_w.append(sem[s:s + length])
+            sentinel = np.full((w.shape[0],), -1, dtype=np.int32)
             word_w.append(word[s:s + length] if word is not None
                           else sentinel)
             emo_w.append(emo[s:s + length] if emo is not None else sentinel)

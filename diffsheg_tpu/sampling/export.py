@@ -30,6 +30,16 @@ class BeatMotionExporter:
 
         self.pose_dim = pose_dim
         self.fps = fps
+        # --remove_hand models emit the 33-channel hand-free subset while
+        # dataset stats cover the full 141+51 layout: select the matching
+        # channels (data/beat.py BEAT_HAND_FREE_CHANNELS)
+        if (motion_mean is not None and pose_dim != 141
+                and motion_mean.shape[-1] == 192):
+            from diffsheg_tpu.data.beat import BEAT_HAND_FREE_CHANNELS
+            assert pose_dim == len(BEAT_HAND_FREE_CHANNELS), pose_dim
+            sel = np.r_[BEAT_HAND_FREE_CHANNELS, np.arange(141, 192)]
+            motion_mean = np.asarray(motion_mean)[sel]
+            motion_std = np.asarray(motion_std)[sel]
         self.motion_mean = motion_mean
         self.motion_std = motion_std
         self.template_bvh = template_bvh
@@ -51,8 +61,10 @@ class BeatMotionExporter:
         np.save(npy_path, denorm)
         written.append(npy_path)
 
+        # BVH rewrite assumes the full SPINE_NECK 141-channel layout
+        # (data_tools.py:548-607); subset models export npy + face only
         if self.template_bvh and os.path.exists(self.template_bvh) \
-                and pose_dim % 3 == 0:
+                and pose_dim == 141:
             from diffsheg_tpu.geometry.bvh import rewrite_template_file
 
             eul = np.asarray(self._aa_to_euler(

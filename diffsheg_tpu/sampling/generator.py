@@ -152,13 +152,22 @@ class WindowGenerator:
             return extract_fast_params(mcfg, variables, T, has_hubert)
 
         def make_denoise_fn(variables, mel, pid, hubert, cache=None,
-                            fast=None):
+                            fast=None, word=None, emo=None):
             mel, pid = ablate_inputs(mcfg, mel, pid)
             if cache is None:
                 fast = None  # the fast path consumes the cache
             elif fast is None and use_fast:
                 fast = extract_fast_params(mcfg, variables, mel.shape[1],
                                            hubert is not None)
+            # text/emo-conditioned checkpoints need the label inputs for a
+            # structurally consistent apply (null_cond_emb width includes
+            # word_f/emotion_f); with no labels available at sampling time
+            # (e.g. custom audio) zeros = the training sentinel's clamp
+            B_, T_ = mel.shape[0], mel.shape[1]
+            if mcfg.add_text_cond and word is None:
+                word = jnp.zeros((B_, T_), dtype=jnp.int32)
+            if mcfg.add_emo_cond and emo is None:
+                emo = jnp.zeros((B_, T_), dtype=jnp.int32)
             def fn(x: jax.Array, t: jax.Array) -> jax.Array:
                 # sqrt-alpha pair at the respaced level, broadcast (B,1,1)
                 # (reference gaussian_diffusion.py:527-532).
@@ -173,6 +182,10 @@ class WindowGenerator:
                 kw = {}
                 if cache is not None:
                     kw["cache"] = gather_level(cache, t[0])
+                if word is not None:
+                    kw["word"] = word
+                if emo is not None:
+                    kw["emo"] = emo
                 return model.apply(
                     variables, x, jnp.take(tmap, t), (sr, srm1), mel, pid,
                     hubert=hubert, train=False,

@@ -179,6 +179,15 @@ class Trainer:
                                      dtype=np.float32)
         if "sem" in batch:
             out["sem"] = batch["sem"]
+        # text/emotion conditioning labels (train/step.py reads these when
+        # the flags are on); -1 sentinels clamp to index 0 in the model
+        B, T = out["motion"].shape[:2]
+        if self.cfg.model.add_text_cond:
+            out["word"] = np.asarray(
+                batch.get("word", np.zeros((B, T))), dtype=np.int32)
+        if self.cfg.model.add_emo_cond:
+            out["emo"] = np.asarray(
+                batch.get("emo", np.zeros((B, T))), dtype=np.int32)
         return out
 
     # -- eval --------------------------------------------------------------
@@ -204,7 +213,11 @@ class Trainer:
                                                mse_pck_channels)
 
         gen = self._get_generator()
-        mses, pcks, outs = [], [], []
+        mses, pcks = [], []
+        # streaming diversity: score each disjoint 50-sample group as it
+        # fills instead of retaining every generated batch in memory
+        div_carry, carry_n = [], 0
+        div_total, div_groups = 0.0, 0
         gen_lat, real_lat = [], []
         fgd_embed = None
         if self.fgd_variables is not None:
@@ -226,7 +239,15 @@ class Trainer:
             tgt = np.asarray(mb["motion"])
             m, p = mse_pck_channels(out_np, tgt)
             mses.append(m); pcks.append(p)
-            outs.append(out_np)
+            div_carry.append(out_np)
+            carry_n += len(out_np)
+            while carry_n >= 50:
+                pool = np.concatenate(div_carry)
+                div_total += div_fn(pool[:50], batch=50)
+                div_groups += 1
+                rest = pool[50:]
+                div_carry = [rest] if len(rest) else []
+                carry_n = len(rest)
             if fgd_embed is not None:
                 gen_lat.append(np.asarray(fgd_embed(out)))
                 real_lat.append(np.asarray(fgd_embed(jnp.asarray(tgt))))
@@ -234,11 +255,16 @@ class Trainer:
         # diversity over 50-sample groups of the pooled outputs — the
         # protocol batch from Ye et al. ECCV'22 (ddpm_beat_trainer.py:601),
         # regardless of the loader's batch size
+        if div_groups:
+            div_val = div_total / div_groups
+        elif div_carry:  # fewer than 50 samples total: one smaller group
+            div_val = div_fn(np.concatenate(div_carry), batch=50)
+        else:
+            div_val = float("nan")
         res = EvalResult(
             mse=float(np.mean(mses)) if mses else float("nan"),
             pck=float(np.mean(pcks)) if pcks else float("nan"),
-            diversity=(div_fn(np.concatenate(outs), batch=50)
-                       if outs else float("nan")),
+            diversity=div_val,
             fgd=(frechet_from_activations(np.concatenate(gen_lat),
                                           np.concatenate(real_lat))
                  if gen_lat else float("nan")),

@@ -384,15 +384,21 @@ class TestWordEmoConditioning:
                          BeatBuildConfig(n_poses=34, stride=10),
                          log=lambda *a: None)
         ds = BeatDataset(str(tmp_path / "cache"), stats)
-        labelled = [s for s in (ds[i] for i in range(len(ds)))
-                    if s["word"].shape == (34,)]
-        sentinel = [s for s in (ds[i] for i in range(len(ds)))
-                    if s["word"].shape == (1,)]
+        samples = [ds[i] for i in range(len(ds))]
+        # every window's labels are full-length (window-length -1 sentinel
+        # for unlabelled clips — the reference's [-1], beat.py:348, widened
+        # so the cache field is never ragged and batches cleanly)
+        assert all(s["word"].shape == (34,) for s in samples)
+        labelled = [s for s in samples if (s["word"] >= 0).any()]
+        sentinel = [s for s in samples if (s["word"] == -1).all()]
         assert labelled and sentinel
-        assert sentinel[0]["word"][0] == -1      # reference beat.py:348
-        assert sentinel[0]["emo"][0] == -1
+        assert (sentinel[0]["emo"] == -1).all()
         assert labelled[0]["emo"].shape == (34,)
         assert labelled[0]["word"].dtype == np.int32
+        # and the batch path carries them (regression: ragged fields were
+        # silently dropped by ArrayCache.batch)
+        b = ds.batch(np.arange(len(ds)))
+        assert b["word"].shape == (len(ds), 34)
 
     def test_model_conditioning_hooks(self):
         from diffsheg_tpu.models.unidiffuser import init_unidiffuser

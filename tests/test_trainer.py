@@ -127,3 +127,44 @@ class TestShowTraining:
         tr.fit(ShardedBatchLoader(ds, global_batch_size=8, prefetch=0),
                num_epochs=1)
         assert tr.total_it == 1
+
+
+class TestTextEmoTraining:
+    def test_train_step_with_text_emo_conditioning(self, tmp_path):
+        """Regression: _to_model_batch must supply word/emo when the
+        conditioning flags are on (the jitted step reads them)."""
+        import dataclasses
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.train.trainer import Trainer
+
+        cfg = beat_config()
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, latent_dim=16, num_layers=1, num_heads=2,
+                ff_size=32, add_hubert=False, add_text_cond=True,
+                add_emo_cond=True, word_f=12, emotion_f=6, word_vocab=64),
+            data=dataclasses.replace(cfg.data, n_poses=8))
+        tr = Trainer(cfg, str(tmp_path))
+        B, T = 4, 8
+        rs = np.random.RandomState(0)
+        batch = {
+            "motion": rs.randn(B, T, cfg.model.motion_dim).astype(np.float32),
+            "mel": rs.randn(B, T, cfg.model.audio_dim).astype(np.float32),
+            "id": np.arange(B, dtype=np.int32),
+            "word": rs.randint(0, 64, (B, T)).astype(np.int32),
+            "emo": rs.randint(0, 8, (B, T)).astype(np.int32),
+        }
+        mb = tr._to_model_batch(batch)
+        assert mb["word"].shape == (B, T) and mb["emo"].shape == (B, T)
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        from diffsheg_tpu.train.step import make_train_step
+        sched = make_schedule(get_named_beta_schedule(
+            cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
+        step = make_train_step(cfg, sched)
+        _, terms = step(tr.state, mb, jax.random.PRNGKey(0))
+        assert np.isfinite(float(terms.total))
+        # a batch WITHOUT labels still steps (zeros fallback)
+        batch2 = {k: v for k, v in batch.items() if k not in ("word", "emo")}
+        mb2 = tr._to_model_batch(batch2)
+        assert (mb2["word"] == 0).all() and mb2["emo"].shape == (B, T)
