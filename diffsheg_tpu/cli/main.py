@@ -28,24 +28,52 @@ import numpy as np
 from diffsheg_tpu.config import Config, beat_config, show_config
 
 
+def _override_error(kind: str, name: str, valid, item: str) -> SystemExit:
+    """Friendly --set failure: name the typo and list what is valid
+    (the reference prints the full opt namespace on parse instead,
+    options/base_options.py:158-165)."""
+    choices = ", ".join(sorted(valid))
+    return SystemExit(
+        f"--set {item!r}: unknown {kind} {name!r}. Valid {kind}s: {choices}")
+
+
 def _apply_overrides(cfg: Config, sets: List[str]) -> Config:
     """--set model.latent_dim=256 style dotted overrides."""
     for item in sets:
-        path, _, raw = item.partition("=")
-        section, _, field = path.partition(".")
+        path, eq, raw = item.partition("=")
+        section, dot, field = path.partition(".")
+        if not eq or not dot:
+            raise SystemExit(
+                f"--set {item!r}: expected section.field=value "
+                "(e.g. --set model.latent_dim=256)")
+        sections = [f.name for f in dataclasses.fields(cfg)
+                    if dataclasses.is_dataclass(getattr(cfg, f.name))]
+        if section not in sections:
+            raise _override_error("section", section, sections, item)
         sub = getattr(cfg, section)
+        fields = {f.name for f in dataclasses.fields(sub)}
+        if field not in fields:
+            raise _override_error("field", f"{section}.{field}", fields, item)
         old = getattr(sub, field)
-        if isinstance(old, bool):
-            val = raw.lower() in ("1", "true", "yes")
-        elif isinstance(old, int):
-            val = int(raw)
-        elif isinstance(old, float):
-            val = float(raw)
-        else:
-            val = raw
+        try:
+            val = _coerce(old, raw)
+        except ValueError:
+            raise SystemExit(
+                f"--set {item!r}: cannot parse {raw!r} as "
+                f"{type(old).__name__} (current value: {old!r})")
         cfg = cfg.replace(**{section: dataclasses.replace(sub,
                                                           **{field: val})})
     return cfg
+
+
+def _coerce(old, raw: str):
+    if isinstance(old, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(old, int):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    return raw
 
 
 def _base_config(args) -> Config:

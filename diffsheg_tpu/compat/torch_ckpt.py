@@ -100,6 +100,17 @@ def _layer(sd, prefix) -> Dict[str, Any]:
         "sa_block": _sa_block(sd, f"{prefix}.sa_block"),
         "ffn": _ffn(sd, f"{prefix}.ffn"),
     }
+    if f"{prefix}.ca_block.norm.weight" in sd:
+        # transformer_decoder mode: LinearTemporalCrossAttention
+        # (reference models/transformer.py:133-166,294-296)
+        out["ca_block"] = {
+            "norm": _layernorm(sd, f"{prefix}.ca_block.norm"),
+            "text_norm": _layernorm(sd, f"{prefix}.ca_block.text_norm"),
+            "query": _linear(sd, f"{prefix}.ca_block.query"),
+            "key": _linear(sd, f"{prefix}.ca_block.key"),
+            "value": _linear(sd, f"{prefix}.ca_block.value"),
+            "proj_out": _stylization(sd, f"{prefix}.ca_block.proj_out"),
+        }
     if f"{prefix}.feat_proj.0.weight" in sd:  # mlp projection (LN,Lin,SiLU,Lin)
         out["feat_proj"] = {
             "norm": _layernorm(sd, f"{prefix}.feat_proj.0"),

@@ -82,6 +82,14 @@ class ModelConfig:
     use_single_style: bool = False  # --use_single_style: force every sample's
                                  # one-hot to speaker 0 (base_options.py:116,
                                  # ddpm_beat_trainer.py:137-139)
+    # model_base (--model_base, base_options.py:20): 'transformer_encoder'
+    # (shipped default, per-layer condition concat+projection) or
+    # 'transformer_decoder' (per-layer linear cross-attention over the audio
+    # latent instead — reference transformer.py:294-296,344-346,133-166)
+    model_base: str = "transformer_encoder"
+    # 2x-channel output head for ModelVarType.LEARNED/LEARNED_RANGE sampling
+    # and the hybrid VLB loss (gaussian_diffusion.py:549-566,1363-1374)
+    learned_variance: bool = False
     compute_dtype: str = "float32"  # dtype for matmuls inside the denoiser
 
     @property
@@ -106,7 +114,10 @@ class DiffusionConfig:
     num_steps: int = 1000
     beta_schedule: str = "linear"        # {'linear','cosine'}
     mean_type: str = "epsilon"           # {'epsilon','start_x','previous_x'}
-    var_type: str = "fixed_small"        # {'fixed_small','fixed_large'}
+    var_type: str = "fixed_small"        # {'fixed_small','fixed_large',
+                                         #  'learned','learned_range'};
+                                         # learned* require
+                                         # model.learned_variance=True
     respacing: str = "ddim25"            # '' = no respacing; 'ddimN' or 'a,b,c'
     clip_denoised: bool = False          # clamp x0 predictions to [-1,1]
                                          # (reference samples with False,
@@ -194,6 +205,11 @@ class TrainConfig:
     vel_weight: float = 1.0
     x0_weight: float = 100.0
     huber_beta: float = 0.1      # smooth-L1 transition (loss_factory.py:19-27)
+    # diffusion loss family (reference LossType, gaussian_diffusion.py:293-308
+    # + training_losses :1342-1374): 'mse' / 'rescaled_mse' add a VLB term for
+    # the variance head when model.learned_variance (rescaled_mse scales it by
+    # num_steps/1000); 'kl' / 'rescaled_kl' train on the VLB alone.
+    loss_type: str = "mse"
     vel_loss_start: int = -1     # epoch gate for velocity/x0 terms
     use_sem_weighting: bool = True  # BEAT: scale huber(x0) by (semantic score + 1)
     log_every: int = 50

@@ -11,9 +11,12 @@ Design:
     batch (the reference's round-up DistributedSampler semantics,
     dataloader.py:30-40), reseeded per epoch via ``set_epoch`` like
     torch's sampler (ddpm_beat_trainer.py:381);
-  - each process takes an interleaved slice of every global batch
-    (process i gets rows i::num_processes), matching how
-    ``jax.make_array_from_process_local_data`` assembles the global array;
+  - each process takes the contiguous block of every global batch that maps
+    onto its addressable devices (process p gets rows
+    ``[p*local : (p+1)*local]``) — the layout
+    ``jax.make_array_from_process_local_data`` assembles into a
+    batch-sharded global array when the mesh's data axis enumerates devices
+    in process order (parallel/mesh.py::make_mesh does);
   - a background thread keeps ``prefetch`` batches in flight so host gather
     overlaps device compute.
 """
@@ -80,7 +83,8 @@ class ShardedBatchLoader:
         return order
 
     def _local_indices(self, global_rows: np.ndarray) -> np.ndarray:
-        return global_rows[self.process_index::self.process_count]
+        b = self.local_batch_size
+        return global_rows[self.process_index * b:(self.process_index + 1) * b]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._epoch_order()

@@ -52,6 +52,14 @@ def jump_schedule_ddim(
     return jump_schedule(t_T, jump_length, jump_n_sample)
 
 
+def jump_schedule_paper() -> List[int]:
+    """The original RePaint paper schedule: t_T=250, jump_length=10,
+    jump_n_sample=10 (reference models/scheduler.py:150-176) — used by the
+    ancestral ``p_sample_loop_progressive_harmonize`` path
+    (gaussian_diffusion.py:885)."""
+    return jump_schedule(250, 10, 10)
+
+
 def _check_times(times: List[int], t_0: int, t_T: int) -> None:
     assert times[0] > times[1], (times[0], times[1])
     assert times[-1] == -1, times[-1]

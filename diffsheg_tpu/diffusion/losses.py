@@ -27,6 +27,8 @@ class LossTerms(NamedTuple):
     eps_mse: jax.Array
     vel_mse: jax.Array
     x0_huber: jax.Array
+    vb: jax.Array = jnp.zeros(())  # variational-bound term (bits); non-zero
+    # only for learned-variance hybrids and kl loss types
 
 
 def huber(pred: jax.Array, target: jax.Array, beta: float,
@@ -60,9 +62,47 @@ def diffusion_loss(
     sem_score: Optional[jax.Array] = None,  # (B, T) semantic relevance
     vel_loss_active: bool = True,
     t_weights: Optional[jax.Array] = None,  # (B,) importance-sampler weights
+    var_out: Optional[jax.Array] = None,    # (B, T, C) raw variance half of a
+                                            # learned-variance model output
+    var_type: str = "learned_range",
+    mean_type: str = "epsilon",
 ) -> LossTerms:
     B, T, _ = x_start.shape
     mask = jnp.ones((B, T)) if src_mask is None else src_mask
+
+    # --- VLB term (reference gaussian_diffusion.py:1342-1374) ------------
+    vb = jnp.zeros(())
+    if cfg.loss_type in ("kl", "rescaled_kl") or var_out is not None:
+        from diffsheg_tpu.diffusion.vlb import vb_term_from_output
+        if var_out is None:
+            # kl losses with a fixed variance still evaluate the bound with
+            # the posterior variance; synthesise the 2C layout with the raw
+            # value that reproduces fixed_small under learned_range (frac=0)
+            var_out = jnp.full_like(model_out, -1.0)
+        full_out = jnp.concatenate([model_out, var_out], axis=-1)
+        hybrid = cfg.loss_type in ("mse", "rescaled_mse")
+        per_sample_vb = vb_term_from_output(
+            sched, x_start, x_t, t, full_out, mean_type=mean_type,
+            var_type=var_type, clip_denoised=False,
+            # hybrid objective detaches the mean half so the VLB trains only
+            # the variance head (:1366-1369)
+            freeze_mean=hybrid,
+        )
+        if t_weights is not None:
+            per_sample_vb = per_sample_vb * t_weights
+        vb = per_sample_vb.mean()
+        T_steps = sched.num_steps
+        if cfg.loss_type == "rescaled_mse":
+            # "Divide by 1000 for equivalence with initial implementation"
+            # (:1371-1373)
+            vb = vb * (T_steps / 1000.0)
+        elif cfg.loss_type == "rescaled_kl":
+            vb = vb * T_steps
+
+    if cfg.loss_type in ("kl", "rescaled_kl"):
+        zero = jnp.zeros(())
+        return LossTerms(total=vb, eps_mse=zero, vel_mse=zero,
+                         x0_huber=zero, vb=vb)
 
     # epsilon MSE, channel-mean then masked frame-mean; under the
     # loss-second-moment sampler each sample carries an importance weight
@@ -98,4 +138,6 @@ def diffusion_loss(
         total = eps_term + cfg.vel_weight * vel_mse + cfg.x0_weight * x0_h
     else:
         total = eps_term
-    return LossTerms(total=total, eps_mse=eps_mse, vel_mse=vel_mse, x0_huber=x0_h)
+    total = total + vb
+    return LossTerms(total=total, eps_mse=eps_mse, vel_mse=vel_mse,
+                     x0_huber=x0_h, vb=vb)

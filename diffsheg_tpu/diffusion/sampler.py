@@ -54,6 +54,39 @@ class SampleState(NamedTuple):
     saved_tails: jax.Array  # (T_max+1, B, overlap, C) for same_overlap_noisy
 
 
+def split_model_output(
+    model_out: jax.Array, var_type: str
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Split a learned-variance model output into (mean-part, raw-variance).
+
+    For ``learned``/``learned_range`` the model carries 2C channels
+    (reference gaussian_diffusion.py:549-552 ``th.split(model_output, C)``,
+    channel-last here); fixed variances pass through untouched.
+    """
+    if var_type in ("learned", "learned_range"):
+        C = model_out.shape[-1] // 2
+        return model_out[..., :C], model_out[..., C:]
+    return model_out, None
+
+
+def model_log_variance(
+    sched: DiffusionSchedule, var_type: str, var_raw: Optional[jax.Array],
+    t: jax.Array, ndim: int,
+) -> jax.Array:
+    """p(x_{t-1}|x_t) log-variance per ModelVarType
+    (reference gaussian_diffusion.py:549-579)."""
+    if var_type == "learned":
+        return var_raw
+    if var_type == "learned_range":
+        from diffsheg_tpu.diffusion.vlb import learned_range_logvar
+        return learned_range_logvar(sched, var_raw, t)
+    if var_type == "fixed_small":
+        return _gather(sched.posterior_log_variance_clipped, t, ndim)
+    if var_type == "fixed_large":
+        return _gather(sched.log_large_variance, t, ndim)
+    raise ValueError(var_type)
+
+
 def _pred_xstart(
     sched: DiffusionSchedule, mean_type: str, x: jax.Array, t: jax.Array,
     model_out: jax.Array, clip_denoised: bool,
@@ -134,6 +167,7 @@ def ddim_sample_program(
     noise: jax.Array,
     rng: jax.Array,
     mean_type: str = "epsilon",
+    var_type: str = "fixed_small",
     clip_denoised: bool = False,
     eta: float = 0.0,
     repaint: Optional[RepaintSpec] = None,
@@ -165,7 +199,11 @@ def ddim_sample_program(
 
         def denoise_branch(operand):
             x, tails = operand
-            model_out = denoise_fn(x, t)
+            # learned-variance outputs carry 2C channels; the variance half is
+            # unused by the eta=0 DDIM update (the reference's ddim_sample
+            # reads only pred_xstart, gaussian_diffusion.py:1005-1032) but the
+            # mean half must be split out before the eps math (:549-552).
+            model_out, _ = split_model_output(denoise_fn(x, t), var_type)
             x0 = _pred_xstart(sched, mean_type, x, t, model_out, clip_denoised)
             x_new = ddim_update(
                 sched, x, t, x0, jax.random.normal(k_model_noise, x.shape), eta
@@ -207,30 +245,69 @@ def ancestral_sample_program(
     mean_type: str = "epsilon",
     var_type: str = "fixed_small",
     clip_denoised: bool = False,
+    program: Optional[StepProgram] = None,
+    repaint: Optional[RepaintSpec] = None,
+    gt: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Plain ancestral sampling (reference p_sample_loop,
-    gaussian_diffusion.py:684-920), full descending schedule."""
+    """Ancestral sampling with the reference's full ``p_sample`` surface.
+
+    - plain path (``program=None``): every timestep descending
+      (reference p_sample_loop_progressive, gaussian_diffusion.py:922-974);
+    - ``var_type`` covers all four ModelVarTypes — ``learned``/
+      ``learned_range`` split a 2C model output and use the predicted
+      log-variance in the transition noise (:549-566, :773);
+    - ``repaint`` + ``gt`` enable the inpaint projection: from the second
+      denoise step on, the overlap head of ``x`` is replaced by noised GT
+      *before* the model call (:729-745 — note this differs from the DDIM
+      path, which projects after the update);
+    - a jump ``program`` (e.g. from ``jump_schedule_paper``) runs the
+      harmonize loop: undo transitions re-noise with beta at ``t+1``
+      (p_sample_loop_progressive_harmonize :905-910 passes
+      ``t_last + t_shift``).
+    """
     B = noise.shape[0]
-    ts = jnp.arange(sched.num_steps - 1, -1, -1, dtype=jnp.int32)
+    if program is None:
+        program = StepProgram(
+            t=jnp.arange(sched.num_steps - 1, -1, -1, dtype=jnp.int32),
+            denoise=jnp.ones((sched.num_steps,), dtype=bool),
+        )
+    do_repaint = repaint is not None and repaint.overlap_len > 0 and gt is not None
 
-    if var_type == "fixed_small":
-        log_var_table = sched.posterior_log_variance_clipped
-    elif var_type == "fixed_large":
-        log_var_table = sched.log_large_variance
-    else:
-        raise ValueError(var_type)
-
-    def step(carry, t_scalar):
-        x, key = carry
-        key, k = jax.random.split(key)
+    def step(carry, prog):
+        x, key, started = carry
+        t_scalar, is_denoise = prog
+        key, k_gt, k_trans, k_undo = jax.random.split(key, 4)
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
-        model_out = denoise_fn(x, t)
-        x0 = _pred_xstart(sched, mean_type, x, t, model_out, clip_denoised)
-        mean = sched.q_posterior_mean(x0, x, t)
-        log_var = _gather(log_var_table, t, x.ndim)
-        nonzero = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
-        x = mean + nonzero * jnp.exp(0.5 * log_var) * jax.random.normal(k, x.shape)
-        return (x, key), None
 
-    (x, _), _ = jax.lax.scan(step, (noise, rng), ts)
+        def denoise_branch(x):
+            if do_repaint:
+                # project BEFORE the model call, but only once a pred_xstart
+                # exists (the reference gates on ``pred_xstart is not None``,
+                # :729 — i.e. every denoise step after the first)
+                ab = _gather(sched.alphas_cumprod, t, x.ndim)
+                weighed_gt = (jnp.sqrt(ab) * gt
+                              + jnp.sqrt(1.0 - ab)
+                              * jax.random.normal(k_gt, x.shape))
+                ov = repaint.overlap_len
+                head = jnp.where(started, weighed_gt[:, :ov], x[:, :ov])
+                x = x.at[:, :ov].set(head)
+            out, var_raw = split_model_output(denoise_fn(x, t), var_type)
+            x0 = _pred_xstart(sched, mean_type, x, t, out, clip_denoised)
+            mean = (out if mean_type == "previous_x"
+                    else sched.q_posterior_mean(x0, x, t))
+            log_var = model_log_variance(sched, var_type, var_raw, t, x.ndim)
+            nonzero = (t != 0).astype(x.dtype).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            return mean + nonzero * jnp.exp(0.5 * log_var) \
+                * jax.random.normal(k_trans, x.shape)
+
+        def undo_branch(x):
+            return sched.undo(x, t + 1, jax.random.normal(k_undo, x.shape))
+
+        x = jax.lax.cond(is_denoise, denoise_branch, undo_branch, x)
+        return (x, key, started | is_denoise), None
+
+    started0 = jnp.zeros((), dtype=bool)
+    (x, _, _), _ = jax.lax.scan(
+        step, (noise, rng, started0), (program.t, program.denoise))
     return x

@@ -100,6 +100,52 @@ def vlb_term(
     return jnp.where(t == 0, nll, kl)
 
 
+def vb_term_from_output(
+    sched: DiffusionSchedule,
+    x_start: jax.Array,
+    x_t: jax.Array,
+    t: jax.Array,
+    model_out: jax.Array,      # (B, T, 2C) mean-part ++ raw-variance
+    mean_type: str = "epsilon",
+    var_type: str = "learned_range",
+    clip_denoised: bool = False,
+    freeze_mean: bool = False,
+) -> jax.Array:
+    """Per-sample VLB term (bits) straight from a 2C-channel model output.
+
+    Composes the reference's ``_vb_terms_bpd`` -> ``p_mean_variance`` chain
+    (gaussian_diffusion.py:1308-1349, :513-566) into one pure function.
+    ``freeze_mean`` reproduces the hybrid-loss trick of detaching the mean
+    half so the VLB only trains the variance head (:1366-1374
+    ``frozen_out = th.cat([model_output.detach(), model_var_values])``).
+    """
+    mean_part, var_raw = split_learned_variance(model_out)
+    if freeze_mean:
+        mean_part = jax.lax.stop_gradient(mean_part)
+
+    if var_type == "learned":
+        pred_logvar = var_raw
+    elif var_type == "learned_range":
+        pred_logvar = learned_range_logvar(sched, var_raw, t)
+    else:
+        raise ValueError(var_type)
+
+    if mean_type == "previous_x":
+        # the model output IS the posterior-mean prediction (reference :591-596)
+        pred_mean = mean_part
+    else:
+        if mean_type == "epsilon":
+            x0 = sched.predict_xstart_from_eps(x_t, t, mean_part)
+        elif mean_type == "start_x":
+            x0 = mean_part
+        else:
+            raise ValueError(mean_type)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        pred_mean = sched.q_posterior_mean(x0, x_t, t)
+    return vlb_term(sched, x_start, x_t, t, pred_mean, pred_logvar)
+
+
 def prior_kl(sched: DiffusionSchedule, x_start: jax.Array) -> jax.Array:
     """L_T: KL(q(x_T | x_0) || N(0, I)) in bits (reference :1354-1368)."""
     T = sched.num_steps - 1

@@ -74,3 +74,40 @@ class LinearTemporalSelfAttention(nn.Module):
                              dropout=self.dropout, name="proj_out"
                              )(y, emb, train=train, mod=mod)
         return x + y
+
+
+class LinearTemporalCrossAttention(nn.Module):
+    """Linear cross-attention from the motion latent onto an external memory
+    (the audio latent) — reference models/transformer.py:133-166, used when
+    ``model_base='transformer_decoder'`` (:344-346).
+
+    Same two-einsum contraction as the self-attention; queries come from the
+    normalised motion latent, keys/values from a separately-normalised memory
+    ``xf``.  The reference applies no mask on this path and its nn.Dropout is
+    constructed but never called — reproduced faithfully.
+    """
+
+    latent_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, xf: jax.Array, emb,
+                 train: bool = False, mod=None) -> jax.Array:
+        from diffsheg_tpu.models.blocks import StylizationBlock  # circular-safe
+        from diffsheg_tpu.ops.linear_attention import linear_attention
+
+        B, T, D = x.shape
+        xn = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+        xfn = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                           name="text_norm")(xf)
+        query = nn.Dense(self.latent_dim, dtype=self.dtype, name="query")(xn)
+        key = nn.Dense(self.latent_dim, dtype=self.dtype, name="key")(xfn)
+        value = nn.Dense(self.latent_dim, dtype=self.dtype, name="value")(xfn)
+
+        y = linear_attention(query, key, value, self.num_heads)
+        y = StylizationBlock(self.latent_dim, dtype=self.dtype,
+                             dropout=self.dropout, name="proj_out"
+                             )(y, emb, train=train, mod=mod)
+        return x + y

@@ -137,6 +137,13 @@ class DiffusionTransformerLayer(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     dropout: float = 0.0
+    # 'transformer_encoder' (shipped): per-layer condition concat+projection.
+    # 'transformer_decoder': no concat — linear cross-attention over the
+    # condition after the self-attention instead (reference
+    # transformer.py:294-296,344-346 and the working `_2` layer variant
+    # :183-245; the primary layer's decoder branch at :260,331 would hit a
+    # missing feat_proj, so the `_2` semantics are the functional contract).
+    model_base: str = "transformer_encoder"
 
     @nn.compact
     def __call__(
@@ -150,6 +157,23 @@ class DiffusionTransformerLayer(nn.Module):
         train: bool = False,
         mods: Optional[jax.Array] = None,  # (2, B, 2*latent) level-cache mods
     ) -> jax.Array:
+        if self.model_base == "transformer_decoder":
+            from diffsheg_tpu.models.attention import (
+                LinearTemporalCrossAttention)
+            x = LinearTemporalSelfAttention(
+                self.latent_dim, self.num_heads, dtype=self.dtype,
+                dropout=self.dropout, name="sa_block"
+            )(x, emb, src_mask, train=train,
+              mod=None if mods is None else mods[0])
+            if cond is not None:
+                x = LinearTemporalCrossAttention(
+                    self.latent_dim, self.num_heads, dtype=self.dtype,
+                    dropout=self.dropout, name="ca_block"
+                )(x, cond, emb, train=train)
+            return FFN(self.latent_dim, self.ffn_dim, dtype=self.dtype,
+                       dropout=self.dropout, name="ffn")(
+                x, emb, train=train, mod=None if mods is None else mods[1])
+
         if cond is not None:
             x_ori = x
             feats = jnp.concatenate([x, cond], axis=-1)

@@ -92,6 +92,13 @@ class MotionDenoiser(nn.Module):
     null_cond_prob: float = 0.2
     cond_scale: float = 1.0
     dropout: float = 0.0
+    model_base: str = "transformer_encoder"  # see DiffusionTransformerLayer
+    # learned-variance head: the output projection emits 2x channels, the
+    # second half being the raw variance interpolant consumed by
+    # ModelVarType.LEARNED/LEARNED_RANGE sampling and the hybrid VLB loss
+    # (reference gaussian_diffusion.py:549-566; the reference transformer
+    # never grows its head — this completes the diffusion core's contract)
+    learned_variance: bool = False
     # text/emotion conditioning (see ModelConfig.add_text_cond notes)
     word_f: int = 128
     emotion_f: int = 8
@@ -181,6 +188,9 @@ class MotionDenoiser(nn.Module):
             cond_parts.append(exp_cond.astype(compute))
 
         # --- classifier-free guidance batch handling --------------------
+        # (encoder mode only — the decoder path has no condition concat to
+        # substitute, matching the reference's encoder-guarded branches
+        # at transformer.py:306-332)
         null_cond_mask = None
         if self.classifier_free and train:
             # Deterministic first-fraction rule (transformer.py:328).
@@ -262,14 +272,25 @@ class MotionDenoiser(nn.Module):
                 self.num_heads,
                 dtype=compute,
                 dropout=self.dropout,
+                model_base=self.model_base,
                 name=f"layer_{i}",
             )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb,
               train=train, mods=None if mods is None else mods[i])
 
-        out = nn.Dense(self.input_feats, dtype=compute, name="out")(h)
+        out_feats = self.input_feats * (2 if self.learned_variance else 1)
+        out = nn.Dense(out_feats, dtype=compute, name="out")(h)
         out = out.astype(jnp.float32)
 
         if do_cfg:
             uncond, cond_out = out[:B], out[B:]
-            out = uncond + self.cond_scale * (cond_out - uncond)
+            if self.learned_variance:
+                # guidance applies to the mean half only; the variance
+                # interpolant comes from the conditional pass (guided-diffusion
+                # convention — the reference transformer has no variance head)
+                F = self.input_feats
+                mean = uncond[..., :F] + self.cond_scale * (
+                    cond_out[..., :F] - uncond[..., :F])
+                out = jnp.concatenate([mean, cond_out[..., F:]], axis=-1)
+            else:
+                out = uncond + self.cond_scale * (cond_out - uncond)
         return out

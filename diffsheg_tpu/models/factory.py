@@ -87,6 +87,8 @@ class SingleBranchDenoiser(nn.Module):
             classifier_free=c.classifier_free,
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
+            learned_variance=c.learned_variance,
+            model_base=c.model_base,
             dropout=c.dropout,
             word_f=c.word_f, emotion_f=c.emotion_f,
             word_vocab=c.word_vocab, num_emotions=c.num_emotions,

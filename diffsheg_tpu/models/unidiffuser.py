@@ -93,6 +93,8 @@ class UniDiffuser(nn.Module):
             classifier_free=c.classifier_free,
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
+            learned_variance=c.learned_variance,
+            model_base=c.model_base,
             dropout=c.dropout,
             word_f=c.word_f, emotion_f=c.emotion_f,
             word_vocab=c.word_vocab, num_emotions=c.num_emotions,
@@ -102,7 +104,7 @@ class UniDiffuser(nn.Module):
                        emo=emo if c.add_emo_cond else None)
 
         # 2. expression branch.
-        exp_eps = MotionDenoiser(
+        exp_out = MotionDenoiser(
             input_feats=c.expression_dim,
             use_pid_embed=not c.expr_id_off,
             name="encoder_exp",
@@ -113,6 +115,9 @@ class UniDiffuser(nn.Module):
             cache=None if cache is None else cache.exp,
             **text_kw,
         )
+        # with a learned-variance head each branch emits (mean ++ var_raw)
+        exp_eps = exp_out[..., : c.expression_dim] if c.learned_variance \
+            else exp_out
 
         # 3. x0 bridge: eps -> x0 at the current noise level, detached
         # (transformer.py:717-724, :749).
@@ -120,7 +125,7 @@ class UniDiffuser(nn.Module):
         expr_x0 = jax.lax.stop_gradient(sr * expression - srm1 * exp_eps)
 
         # 4. gesture branch conditioned on the predicted expression.
-        ges_eps = MotionDenoiser(
+        ges_out = MotionDenoiser(
             input_feats=c.pose_dim,
             use_pid_embed=True,
             name="encoder_ges",
@@ -133,7 +138,16 @@ class UniDiffuser(nn.Module):
             **text_kw,
         )
 
-        return jnp.concatenate([ges_eps, exp_eps], axis=-1)
+        if c.learned_variance:
+            # reassemble to the sampler's channel-last 2C layout: the first C
+            # channels are the joint mean (gesture ++ expression), the second
+            # C the joint raw variance — matching split_model_output and the
+            # reference's dim-1 split (gaussian_diffusion.py:549-552)
+            return jnp.concatenate(
+                [ges_out[..., : c.pose_dim], exp_eps,
+                 ges_out[..., c.pose_dim:], exp_out[..., c.expression_dim:]],
+                axis=-1)
+        return jnp.concatenate([ges_out, exp_eps], axis=-1)
 
 
 def init_unidiffuser(

@@ -42,13 +42,17 @@ def linear_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                                num_heads: int) -> jax.Array:
     """Pure-jnp composition — numerics oracle and autodiff rule.
 
-    q, k, v: (B, T, D) pre-softmax (k pre-masked additively, v pre-zeroed).
+    q: (B, T, D); k, v: (B, N, D) pre-softmax (k pre-masked additively, v
+    pre-zeroed).  N == T for self-attention; the cross-attention module
+    (models/attention.py::LinearTemporalCrossAttention) passes an external
+    memory with its own length.
     """
     B, T, D = q.shape
+    N = k.shape[1]
     hd = D // num_heads
     qs = jax.nn.softmax(q.reshape(B, T, num_heads, hd), axis=-1)
-    ks = jax.nn.softmax(k.reshape(B, T, num_heads, hd), axis=1)
-    vv = v.reshape(B, T, num_heads, hd)
+    ks = jax.nn.softmax(k.reshape(B, N, num_heads, hd), axis=1)
+    vv = v.reshape(B, N, num_heads, hd)
     if qs.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
         # The CPU thunk runtime cannot execute bf16 x bf16 -> f32 dots at
         # some shapes.  Upcasting is bit-identical here: bf16 products are
@@ -154,6 +158,8 @@ def linear_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     if use_fused is None:
         use_fused = supports_pallas() and q.dtype == jnp.float32
+    if q.shape != k.shape:  # cross-attention memory length differs
+        use_fused = False
     if use_fused:
         return fused_linear_attention(q, k, v, num_heads)
     return linear_attention_reference(q, k, v, num_heads)

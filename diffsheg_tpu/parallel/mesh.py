@@ -48,10 +48,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays onto the mesh, batch-sharded."""
+    """Place a host pytree of arrays onto the mesh, batch-sharded.
+
+    Single-process: plain ``device_put``.  Multi-process: each process holds
+    only its local rows (the loader's contiguous block) and the global array
+    is assembled across processes with
+    ``jax.make_array_from_process_local_data`` — the NCCL-free equivalent of
+    the reference's per-rank DataLoader shards (runner.py:250-252).
+    """
+    multi = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        sh = data_sharding(mesh, np.ndim(x))
+        if multi:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
     return jax.tree.map(put, batch)
+
+
+def to_global_replicated(mesh: Mesh, tree):
+    """Convert host-local leaves into fully-replicated *global* arrays.
+
+    Required under ``jax.process_count() > 1``: a jitted step over a global
+    mesh only accepts global ``jax.Array`` inputs, and parameters/optimizer
+    state are identical on every process (same seeded init), so each process
+    contributes its full copy.
+    """
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # already a global array (e.g. FSDP-placed)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, rep, lambda idx: x[idx])
+    return jax.tree.map(put, tree)
 
 
 def fsdp_sharding(mesh: Mesh, x, min_size: int = 2 ** 14) -> NamedSharding:
@@ -78,5 +108,13 @@ def fsdp_sharding(mesh: Mesh, x, min_size: int = 2 ** 14) -> NamedSharding:
 
 def shard_params_fsdp(mesh: Mesh, tree):
     """Place a parameter/optimizer pytree with per-leaf FSDP shardings."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, fsdp_sharding(mesh, x)), tree)
+    multi = jax.process_count() > 1
+
+    def place(x):
+        sh = fsdp_sharding(mesh, x)
+        if multi:
+            xn = np.asarray(x)
+            return jax.make_array_from_callback(
+                xn.shape, sh, lambda idx: xn[idx])
+        return jax.device_put(x, sh)
+    return jax.tree.map(place, tree)

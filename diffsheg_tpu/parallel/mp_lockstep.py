@@ -1,0 +1,312 @@
+"""Real multi-process distributed execution: lockstep harness.
+
+The reference actually spawns one process per GPU and exchanges gradients
+over NCCL (reference runner.py:86 ``mp.spawn``, :107
+``dist.init_process_group('nccl', tcp://...)``).  This module is the
+JAX-native equivalent *actually executed*, not simulated: ``run_lockstep``
+spawns N worker processes, each calls ``jax.distributed.initialize`` against
+a shared coordinator, builds the global mesh over N x D virtual CPU devices,
+runs the production sharded train step on its loader shard, and exercises
+every ``multihost_utils`` branch in :mod:`diffsheg_tpu.parallel.collectives`
+(barrier, metric all-reduce, array gather).  The parent then runs the same
+step single-process over the same global device count and asserts the loss
+and updated parameters agree — gradient ``psum`` across real process
+boundaries must reproduce the single-controller result exactly.
+
+Used by ``tests/test_multiprocess.py`` and by ``__graft_entry__.
+dryrun_multichip``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# -- shared payload ---------------------------------------------------------
+
+GLOBAL_BATCH = 16
+T_FRAMES = 6
+DS_LEN = 64
+
+
+def tiny_config():
+    """A small-but-real joint model config shared by workers and parent."""
+    from diffsheg_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
+    return Config(
+        model=ModelConfig(
+            pose_dim=8, expression_dim=4, latent_dim=32, num_layers=2,
+            num_heads=4, ff_size=64, audio_dim=16, aud_latent_dim=16,
+            style_dim=4, add_hubert=False, encode_hubert=False),
+        diffusion=DiffusionConfig(num_steps=50, respacing=""),
+        train=TrainConfig(batch_size=GLOBAL_BATCH, use_sem_weighting=False,
+                          seed=0),
+    )
+
+
+class SynthDataset:
+    """Deterministic indexable dataset — identical on every process."""
+
+    def __init__(self, cfg):
+        self.C = cfg.model.motion_dim
+        self.A = cfg.model.audio_dim
+        self.S = cfg.model.style_dim
+
+    def __len__(self):
+        return DS_LEN
+
+    def batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        idx = np.asarray(indices)
+        t = np.arange(T_FRAMES)[None, :, None]
+        base = idx[:, None, None].astype(np.float32)
+        motion = np.sin(0.1 * base * (t + 1)
+                        + 0.05 * np.arange(self.C)[None, None, :])
+        mel = np.cos(0.07 * base * (t + 1)
+                     + 0.03 * np.arange(self.A)[None, None, :])
+        pid = np.eye(self.S, dtype=np.float32)[idx % self.S]
+        return {"motion": motion.astype(np.float32),
+                "mel": mel.astype(np.float32), "pid": pid}
+
+
+def injected_randoms(cfg):
+    """Seeded (t, noise) for the injected-randoms step — position-keyed so
+    1-process and N-process runs see identical randomness per global row."""
+    rng = np.random.RandomState(42)
+    t = rng.randint(0, cfg.diffusion.num_steps, size=(GLOBAL_BATCH,))
+    noise = rng.randn(GLOBAL_BATCH, T_FRAMES,
+                      cfg.model.motion_dim).astype(np.float32)
+    return t.astype(np.int32), noise
+
+
+# -- the computation under test --------------------------------------------
+
+def compute_lockstep(n_steps: int = 3) -> Dict[str, float]:
+    """Run ``n_steps`` production train steps over the current (possibly
+    multi-process) device set; returns {loss_k, pnorm} floats.
+
+    Must be called after jax.distributed.initialize (or single-process with
+    the same global device count).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from diffsheg_tpu.data.loader import ShardedBatchLoader
+    from diffsheg_tpu.diffusion.schedule import (
+        get_named_beta_schedule, make_schedule)
+    from diffsheg_tpu.models.factory import init_denoiser
+    from diffsheg_tpu.parallel.mesh import make_mesh, shard_batch
+    from diffsheg_tpu.train.step import create_train_state, make_train_step
+
+    cfg = tiny_config()
+    mesh = make_mesh(cfg.mesh)
+    sched = make_schedule(get_named_beta_schedule(
+        cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
+    _, variables = init_denoiser(cfg.model, T_FRAMES,
+                                 jax.random.PRNGKey(cfg.train.seed))
+    state = create_train_state(cfg, variables, mesh=mesh)
+    step = make_train_step(cfg, sched, mesh=mesh, inject_randoms=True)
+
+    loader = ShardedBatchLoader(
+        SynthDataset(cfg), global_batch_size=GLOBAL_BATCH,
+        seed=cfg.train.seed, process_index=jax.process_index(),
+        process_count=jax.process_count(), prefetch=0)
+    t_np, noise_np = injected_randoms(cfg)
+
+    out: Dict[str, float] = {}
+    it = iter(loader)
+    for k in range(n_steps):
+        batch = shard_batch(mesh, next(it))
+        t = jnp.asarray(t_np)
+        noise = jnp.asarray(noise_np)
+        state, terms = step(state, batch, t, noise)
+        out[f"loss_{k}"] = float(terms.total)
+
+    pnorm = jax.jit(lambda p: sum(
+        jnp.abs(leaf).sum() for leaf in jax.tree.leaves(p)))(state.params)
+    out["pnorm"] = float(pnorm)
+    return out
+
+
+def check_collectives() -> Dict[str, float]:
+    """Exercise every multihost branch in parallel/collectives.py."""
+    import jax
+    from diffsheg_tpu.parallel import collectives as col
+
+    col.barrier("mp_lockstep_start")
+    p = col.process_index()
+    n = col.process_count()
+    # weighted metric mean: process p contributes value (p+1) with weight
+    # (p+1) -> expected sum((p+1)^2) / sum(p+1)
+    reduced = col.all_reduce_mean_metrics({"m": float(p + 1)},
+                                          weight=float(p + 1))
+    expect = sum((i + 1) ** 2 for i in range(n)) / sum(i + 1 for i in range(n))
+    gathered = col.gather_arrays(np.asarray([p * 10.0, p * 10.0 + 1.0]))
+    want = np.concatenate([[i * 10.0, i * 10.0 + 1.0] for i in range(n)])
+    col.barrier("mp_lockstep_end")
+    return {
+        # f32 tolerance: process_allgather downcasts under JAX_ENABLE_X64=0
+        "metric_ok": float(abs(reduced["m"] - expect) < 1e-5),
+        "gather_ok": float(np.array_equal(gathered, want)),
+    }
+
+
+def check_loader_partition() -> Dict[str, float]:
+    """The per-process loader shards must tile the global epoch order."""
+    import jax
+    from diffsheg_tpu.data.loader import ShardedBatchLoader
+    from diffsheg_tpu.parallel import collectives as col
+
+    cfg = tiny_config()
+    ds = SynthDataset(cfg)
+
+    class _IndexDs:
+        def __len__(self):
+            return len(ds)
+
+        def batch(self, indices):
+            return {"i": np.asarray(indices)}
+
+    ld = ShardedBatchLoader(
+        _IndexDs(), global_batch_size=GLOBAL_BATCH, seed=3,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(), prefetch=0)
+    local = np.concatenate([b["i"] for b in ld])
+    world = col.gather_arrays(local)
+    # disjoint across processes and covering the epoch
+    n_batches = DS_LEN // GLOBAL_BATCH
+    ok_cover = len(np.unique(world)) == n_batches * GLOBAL_BATCH \
+        and len(world) == n_batches * GLOBAL_BATCH
+    return {"loader_ok": float(ok_cover)}
+
+
+# -- worker entry -----------------------------------------------------------
+
+def worker_main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--local-devices", type=int, required=True)
+    args = ap.parse_args(argv)
+
+    # must run before any jax computation; the axon TPU plugin ignores the
+    # env var, so force through jax.config as well
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert jax.process_count() == args.num_processes
+    assert jax.local_device_count() == args.local_devices, (
+        jax.local_device_count(), args.local_devices)
+
+    result = {"process_id": args.process_id,
+              "global_devices": jax.device_count()}
+    result.update(check_collectives())
+    result.update(check_loader_partition())
+    result.update(compute_lockstep())
+    print("MP_RESULT " + json.dumps(result), flush=True)
+    return 0
+
+
+# -- parent harness ---------------------------------------------------------
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def spawn_workers(num_processes: int, local_devices: int,
+                  timeout: float = 600.0) -> List[Dict]:
+    """Spawn the distributed workers and collect their result dicts."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+    env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    for pid in range(num_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "diffsheg_tpu.parallel.mp_lockstep",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", str(num_processes),
+             "--process-id", str(pid),
+             "--local-devices", str(local_devices)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, cwd=REPO_ROOT, text=True))
+    results = []
+    errs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise RuntimeError("multi-process lockstep worker timed out")
+        errs.append(err)
+        for line in out.splitlines():
+            if line.startswith("MP_RESULT "):
+                results.append(json.loads(line[len("MP_RESULT "):]))
+                break
+        else:
+            raise RuntimeError(
+                f"worker rc={p.returncode} produced no result.\n"
+                f"stdout:\n{out}\nstderr:\n{err[-4000:]}")
+    return results
+
+
+def run_lockstep(num_processes: int = 2, local_devices: int = 4,
+                 timeout: float = 600.0) -> Dict:
+    """Spawn workers, compute the single-process reference in-process, and
+    verify agreement.  The calling process must already have
+    ``num_processes * local_devices`` devices (virtual CPU mesh).
+
+    Returns {"workers": [...], "reference": {...}} after asserting:
+      - every collectives / loader check passed on every worker,
+      - worker losses and updated-parameter norms agree across processes,
+      - they match the single-process result to float tolerance.
+    """
+    import jax
+    n_global = num_processes * local_devices
+    assert jax.device_count() == n_global, (
+        f"parent needs {n_global} devices for the reference run, "
+        f"has {jax.device_count()}")
+
+    workers = spawn_workers(num_processes, local_devices, timeout)
+    assert len(workers) == num_processes
+    for w in workers:
+        assert w["global_devices"] == n_global, w
+        assert w["metric_ok"] == 1.0, w
+        assert w["gather_ok"] == 1.0, w
+        assert w["loader_ok"] == 1.0, w
+
+    reference = compute_lockstep()
+    for key, want in reference.items():
+        got = [w[key] for w in workers]
+        # processes must agree with each other bit-for-bit (replicated
+        # results of the same global computation)
+        assert max(got) == min(got), (key, got)
+        np.testing.assert_allclose(
+            got[0], want, rtol=2e-5, atol=1e-6,
+            err_msg=f"{key}: multi-process != single-process")
+    return {"workers": workers, "reference": reference}
+
+
+if __name__ == "__main__":
+    sys.exit(worker_main())

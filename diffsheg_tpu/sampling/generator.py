@@ -202,7 +202,8 @@ class WindowGenerator:
                 sched, make_denoise_fn(variables, mel, pid, hubert, cache,
                                        fast),
                 self._plain, noise, rng,
-                mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
+                mean_type=diff.mean_type, var_type=diff.var_type,
+                clip_denoised=diff.clip_denoised,
                 unroll=diff.scan_unroll,
             )
             return x
@@ -216,7 +217,8 @@ class WindowGenerator:
                 sched, make_denoise_fn(variables, mel, pid, hubert, cache,
                                        fast),
                 repaint_prog, noise, rng,
-                mean_type=diff.mean_type, clip_denoised=diff.clip_denoised,
+                mean_type=diff.mean_type, var_type=diff.var_type,
+                clip_denoised=diff.clip_denoised,
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
                 prev_tails_valid=prev_tails_valid,
                 unroll=diff.scan_unroll,

@@ -77,13 +77,20 @@ def create_train_state(cfg: Config, variables: Dict[str, Any],
         from diffsheg_tpu.parallel.mesh import shard_params_fsdp
         params = shard_params_fsdp(mesh, params)
         opt_state = shard_params_fsdp(mesh, opt_state)
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=opt_state,
         t_state=t_state,
     )
+    if mesh is not None and jax.process_count() > 1:
+        # multi-process: every leaf must be a *global* array (replicated —
+        # each process initialises identically from the same seed); a jitted
+        # step over a global mesh rejects host-local arrays
+        from diffsheg_tpu.parallel.mesh import to_global_replicated
+        state = to_global_replicated(mesh, state)
+    return state
 
 
 def make_train_step(
@@ -128,10 +135,18 @@ def make_train_step(
             rngs={"dropout": rng_drop},
             **extra,
         )
+        # learned-variance models emit 2C channels; the variance half feeds
+        # the hybrid VLB term (gaussian_diffusion.py:1363-1374)
+        var_out = None
+        if cfg.model.learned_variance:
+            from diffsheg_tpu.diffusion.sampler import split_model_output
+            out, var_out = split_model_output(out, cfg.diffusion.var_type)
         terms = diffusion_loss(
             sched, out, x_start, x_t, t, noise, cfg.train,
             sem_score=batch.get("sem"), vel_loss_active=vel_loss_active,
             t_weights=t_weights if use_loss_aware else None,
+            var_out=var_out, var_type=cfg.diffusion.var_type,
+            mean_type=cfg.diffusion.mean_type,
         )
         # per-sample eps loss feeds the sampler's history
         per_sample = ((out - noise) ** 2).mean(axis=(1, 2))

@@ -21,6 +21,7 @@ trainers/ddpm_beat_trainer.py:340-653):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -80,6 +81,12 @@ class Trainer:
         self.total_it = 0
         self.fgd_variables = fgd_variables
         self._generator = None  # built lazily at first eval
+        # persist the resolved config (the reference's opt.txt,
+        # options/base_options.py:166-176); process 0 only
+        if jax.process_index() == 0:
+            os.makedirs(workdir, exist_ok=True)
+            with open(os.path.join(workdir, "config.json"), "w") as f:
+                f.write(cfg.to_json())
 
     # -- checkpoint --------------------------------------------------------
     def try_resume(self) -> bool:

@@ -1,15 +1,27 @@
-"""Training-step throughput benchmark (BEAT configuration, one TPU chip).
+"""Training-step performance ladder (BEAT configuration, one TPU chip).
 
-The reference trains with global batch 2500 over 5 GPUs (README.md:59-71,
-train_test_scripts.sh) but publishes no training-throughput numbers, so
-this benchmark tracks our own: windows/second through the full jitted
-train step — forward (both branches), all losses (1000*masked eps-MSE +
-velocity + 100*huber(x0) with semantic weighting), backward, global-norm
-clip, Adam — at the shipped architecture (155M params, f32).
+The reference trains with global batch 2500 over 5 GPUs
+(README.md:59-71, train_test_scripts.sh:4-15) but publishes no training
+throughput, so this benchmark builds our own ladder: windows/second through
+the full jitted train step — forward (both branches), all losses
+(1000*masked eps-MSE + velocity + 100*huber(x0) with semantic weighting),
+backward, global-norm clip, Adam — at the shipped architecture (155M
+params), plus:
 
-Run: python examples/train_bench.py [batch]   (default 256)
+  - an analytic MFU estimate from XLA's own cost analysis,
+  - the input-pipeline overlap cost (ShardedBatchLoader feeding the step
+    vs a resident device batch),
+  - a bf16-compute mode (f32 master weights, matmuls in bfloat16 — flax
+    ``dtype`` semantics keep params f32).
+
+Run:
+  python examples/train_bench.py                 # one point (batch 256, f32)
+  python examples/train_bench.py 2500 bf16       # reference global batch
+  TRAIN_BENCH_MATRIX=1 python examples/train_bench.py   # the PERF.md table
 """
 
+import json
+import os
 import sys
 import time
 
@@ -17,8 +29,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# v5e peak: 197 TFLOP/s bf16 (f32 matmuls run through the same MXU via
+# passes at roughly half); used only for the MFU *estimate* column
+PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
-def main(batch: int = 256):
+
+def build(batch: int, dtype: str, donate_batch: bool = True):
+    import dataclasses
+
     from diffsheg_tpu.config import beat_config
     from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
                                                  make_schedule)
@@ -26,6 +44,9 @@ def main(batch: int = 256):
     from diffsheg_tpu.train.step import create_train_state, make_train_step
 
     cfg = beat_config()
+    if dtype != "float32":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype=dtype))
     _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
                                     jax.random.PRNGKey(0))
     sched = make_schedule(get_named_beta_schedule(
@@ -35,39 +56,120 @@ def main(batch: int = 256):
 
     B, T = batch, cfg.data.n_poses
     rs = np.random.RandomState(0)
-    batch_data = {
-        "motion": jnp.asarray(rs.randn(B, T, cfg.model.motion_dim),
-                              jnp.float32),
-        "mel": jnp.asarray(rs.randn(B, T, cfg.model.audio_dim), jnp.float32),
-        "pid": jax.nn.one_hot(jnp.arange(B) % cfg.model.style_dim,
-                              cfg.model.style_dim),
-        "hubert": jnp.asarray(rs.randn(B, T, cfg.model.hubert_dim),
-                              jnp.float32),
-        "sem": jnp.ones((B, T)) * 0.5,
-    }
 
-    state, terms = step(state, batch_data, jax.random.PRNGKey(1))
-    jax.block_until_ready(state.params)
+    def make_host_batch(seed=0):
+        r = np.random.RandomState(seed)
+        return {
+            "motion": r.randn(B, T, cfg.model.motion_dim).astype(np.float32),
+            "mel": r.randn(B, T, cfg.model.audio_dim).astype(np.float32),
+            "pid": np.eye(cfg.model.style_dim, dtype=np.float32)[
+                np.arange(B) % cfg.model.style_dim],
+            "hubert": r.randn(B, T, cfg.model.hubert_dim).astype(np.float32),
+            "sem": np.full((B, T), 0.5, dtype=np.float32),
+        }
+
+    device_batch = jax.tree.map(jnp.asarray, make_host_batch())
+    return cfg, state, step, device_batch, make_host_batch
+
+
+def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False):
+    cfg, state, step, device_batch, make_host_batch = build(batch, dtype)
+    B, T = batch, cfg.data.n_poses
+
+    # warm up / compile
+    t0 = time.perf_counter()
+    state, terms = step(state, device_batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(terms.total)
+    compile_s = time.perf_counter() - t0
+
+    # XLA's own FLOP count for the MFU estimate
+    try:
+        lowered = step.lower(state, device_batch, jax.random.PRNGKey(1))
+        cost = lowered.compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    except Exception:
+        flops = 0.0
 
     times = []
-    for i in range(8):
-        t0 = time.perf_counter()
-        state, terms = step(state, batch_data, jax.random.PRNGKey(i + 2))
-        jax.block_until_ready(terms.total)
-        times.append(time.perf_counter() - t0)
+    if pipeline:
+        # feed through the production loader (host gather + transfer in the
+        # loop) to expose input-pipeline overhead
+        class _Ds:
+            def __len__(self):
+                return B * 4
+
+            def batch(self, idx):
+                h = make_host_batch(1)
+                return {k: v[:len(idx)] for k, v in h.items()}
+
+        from diffsheg_tpu.data.loader import ShardedBatchLoader
+        loader = ShardedBatchLoader(_Ds(), global_batch_size=B, prefetch=2)
+        for i in range(reps):
+            it = iter(loader)
+            t0 = time.perf_counter()
+            for hb in it:
+                db = jax.tree.map(jnp.asarray, hb)
+                state, terms = step(state, db, jax.random.PRNGKey(i + 2))
+            jax.block_until_ready(terms.total)
+            times.append((time.perf_counter() - t0) / 4)
+    else:
+        for i in range(reps):
+            t0 = time.perf_counter()
+            state, terms = step(state, device_batch, jax.random.PRNGKey(i + 2))
+            jax.block_until_ready(terms.total)
+            times.append(time.perf_counter() - t0)
 
     dt = min(times)
-    print(f"batch {B}: {dt*1e3:.1f} ms/step -> {B/dt:.0f} windows/s "
-          f"({B*T/dt:.0f} frames/s), loss={float(terms.total):.2f}",
+    mfu = (flops / dt) / PEAK_FLOPS.get(dtype, 197e12) if flops else None
+    return {
+        "batch": B,
+        "dtype": dtype,
+        "step_ms": round(dt * 1e3, 1),
+        "windows_per_s": round(B / dt, 1),
+        "frames_per_s": round(B * T / dt, 0),
+        "mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
+        "tflops_per_step": round(flops / 1e12, 2) if flops else None,
+        "compile_s": round(compile_s, 1),
+        "loss": round(float(terms.total), 2),
+        "pipelined": pipeline,
+    }
+
+
+def main():
+    if os.environ.get("TRAIN_BENCH_MATRIX"):
+        rows = []
+        for batch, dtype in [(128, "float32"), (512, "float32"),
+                             (512, "bfloat16"), (1024, "bfloat16"),
+                             (2500, "float32"), (2500, "bfloat16")]:
+            r = measure(batch, dtype)
+            print(json.dumps(r), flush=True)
+            rows.append(r)
+        # input-pipeline overlap at a production point
+        r = measure(1024, "bfloat16", reps=4, pipeline=True)
+        print(json.dumps(r), flush=True)
+        best = max(rows, key=lambda r: r["windows_per_s"])
+        print(json.dumps({
+            "metric": "beat_train_windows_per_s",
+            "value": best["windows_per_s"],
+            "unit": "windows/s",
+            "batch": best["batch"], "dtype": best["dtype"],
+        }))
+        return
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    dtype = {"bf16": "bfloat16", "f32": "float32"}.get(
+        sys.argv[2] if len(sys.argv) > 2 else "f32", "float32")
+    r = measure(batch, dtype)
+    print(f"batch {r['batch']} {r['dtype']}: {r['step_ms']} ms/step -> "
+          f"{r['windows_per_s']} windows/s, MFU {r['mfu_pct']}%",
           file=sys.stderr)
-    import json
     print(json.dumps({
         "metric": "beat_train_windows_per_s",
-        "value": round(B / dt, 1),
+        "value": r["windows_per_s"],
         "unit": "windows/s",
-        "batch": B,
+        "batch": r["batch"], "dtype": r["dtype"], "mfu_pct": r["mfu_pct"],
     }))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    main()

@@ -459,3 +459,44 @@ class TestWordEmoConditioning:
         }
         state, terms = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(terms.total))
+
+
+class TestCliOverrides:
+    """--set ergonomics (round-3 CLI polish, VERDICT item 8)."""
+
+    def test_valid_override_applies(self):
+        from diffsheg_tpu.cli.main import _apply_overrides
+        from diffsheg_tpu.config import beat_config
+        cfg = _apply_overrides(beat_config(), ["model.latent_dim=256",
+                                               "train.lr=1e-3",
+                                               "stream.add_blend=false"])
+        assert cfg.model.latent_dim == 256
+        assert cfg.train.lr == pytest.approx(1e-3)
+        assert cfg.stream.add_blend is False
+
+    def test_unknown_section_lists_sections(self):
+        from diffsheg_tpu.cli.main import _apply_overrides
+        from diffsheg_tpu.config import beat_config
+        with pytest.raises(SystemExit, match="unknown section 'modle'.*model"):
+            _apply_overrides(beat_config(), ["modle.latent_dim=1"])
+
+    def test_unknown_field_lists_fields(self):
+        from diffsheg_tpu.cli.main import _apply_overrides
+        from diffsheg_tpu.config import beat_config
+        with pytest.raises(SystemExit,
+                           match="unknown field 'model.latentdim'.*latent_dim"):
+            _apply_overrides(beat_config(), ["model.latentdim=1"])
+
+    def test_malformed_item(self):
+        from diffsheg_tpu.cli.main import _apply_overrides
+        from diffsheg_tpu.config import beat_config
+        with pytest.raises(SystemExit, match="section.field=value"):
+            _apply_overrides(beat_config(), ["model.latent_dim"])
+        with pytest.raises(SystemExit, match="section.field=value"):
+            _apply_overrides(beat_config(), ["latent_dim=5"])
+
+    def test_unparseable_value(self):
+        from diffsheg_tpu.cli.main import _apply_overrides
+        from diffsheg_tpu.config import beat_config
+        with pytest.raises(SystemExit, match="cannot parse 'abc' as int"):
+            _apply_overrides(beat_config(), ["model.latent_dim=abc"])

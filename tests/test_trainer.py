@@ -168,3 +168,25 @@ class TestTextEmoTraining:
         batch2 = {k: v for k, v in batch.items() if k not in ("word", "emo")}
         mb2 = tr._to_model_batch(batch2)
         assert (mb2["word"] == 0).all() and mb2["emo"].shape == (B, T)
+
+
+def test_trainer_dumps_resolved_config(tmp_path):
+    """Trainer persists the resolved config as <workdir>/config.json — the
+    reference's opt.txt (options/base_options.py:166-176)."""
+    import json as _json
+    from diffsheg_tpu.config import Config, ModelConfig, DiffusionConfig
+    from diffsheg_tpu.train.trainer import Trainer
+
+    cfg = Config(
+        model=ModelConfig(pose_dim=6, expression_dim=4, latent_dim=16,
+                          num_layers=1, num_heads=2, ff_size=32,
+                          audio_dim=8, aud_latent_dim=8, style_dim=2,
+                          add_hubert=False, encode_hubert=False),
+        diffusion=DiffusionConfig(num_steps=50, respacing=""),
+    )
+    wd = str(tmp_path / "run")
+    Trainer(cfg, wd)
+    with open(f"{wd}/config.json") as f:
+        dumped = _json.load(f)
+    assert dumped["model"]["latent_dim"] == 16
+    assert dumped["diffusion"]["num_steps"] == 50
