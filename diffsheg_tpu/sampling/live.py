@@ -56,6 +56,39 @@ class LiveSession:
         features (window-local context in live mode).
     """
 
+    @classmethod
+    def create(cls, cfg, variables, person_id: jax.Array, rng: jax.Array,
+               window_frames: int = 0, overlap: int = 0,
+               hubert_extractor=None) -> "LiveSession":
+        """Build a session, optionally at a REDUCED live window size.
+
+        The denoiser is window-length-agnostic (attention + per-frame
+        conditioning over T with sinusoidal positions), so inference may run
+        shorter windows than training.  The live lookahead is one window of
+        audio (``window/fps``); shrinking ``window_frames`` cuts it
+        proportionally — at 15 fps the default 34-frame window means 2.27 s
+        lookahead, a 12-frame window 0.8 s — at some quality cost (less
+        audio context per window, more RePaint seams).  The measured
+        latency/quality frontier lives in PERF.md ("Live-session latency");
+        ``examples/live_latency.py`` reproduces it.
+
+        ``overlap`` overrides the RePaint overlap (default: keep the
+        config's; capped at window_frames//2 so a small window still has
+        fresh frames).
+        """
+        import dataclasses as _dc
+        if window_frames:
+            ov = overlap or min(cfg.stream.overlap_len, window_frames // 2)
+            cfg = cfg.replace(
+                data=_dc.replace(cfg.data, n_poses=window_frames),
+                stream=_dc.replace(cfg.stream, overlap_len=ov),
+            )
+        elif overlap:
+            cfg = cfg.replace(
+                stream=_dc.replace(cfg.stream, overlap_len=overlap))
+        return cls(WindowGenerator(cfg, variables), person_id, rng,
+                   hubert_extractor=hubert_extractor)
+
     def __init__(self, gen: WindowGenerator, person_id: jax.Array,
                  rng: jax.Array, hubert_extractor=None):
         cfg = gen.cfg

@@ -141,12 +141,21 @@ def main():
         for batch, dtype in [(128, "float32"), (512, "float32"),
                              (512, "bfloat16"), (1024, "bfloat16"),
                              (2500, "float32"), (2500, "bfloat16")]:
-            r = measure(batch, dtype)
+            try:
+                r = measure(batch, dtype)
+            except Exception as e:  # e.g. HBM OOM at the largest point
+                print(json.dumps({"batch": batch, "dtype": dtype,
+                                  "error": str(e)[:200]}), flush=True)
+                continue
             print(json.dumps(r), flush=True)
             rows.append(r)
         # input-pipeline overlap at a production point
-        r = measure(1024, "bfloat16", reps=4, pipeline=True)
-        print(json.dumps(r), flush=True)
+        try:
+            r = measure(1024, "bfloat16", reps=4, pipeline=True)
+            print(json.dumps(r), flush=True)
+        except Exception as e:
+            print(json.dumps({"pipelined": True, "error": str(e)[:200]}),
+                  flush=True)
         best = max(rows, key=lambda r: r["windows_per_s"])
         print(json.dumps({
             "metric": "beat_train_windows_per_s",

@@ -170,3 +170,39 @@ class TestLiveSession:
         got = live.finish()
         assert got.shape == (1, T, cfg.model.motion_dim)
         assert np.isfinite(got).all()
+
+
+class TestReducedWindow:
+    """LiveSession.create(window_frames=...): the low-latency mode
+    (PERF.md "Live-session latency"; the denoiser is length-agnostic)."""
+
+    def test_small_window_emits_early_and_covers_clip(self):
+        cfg, gen, pid = _setup(seed=8)
+        del gen
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(8))
+        T = 70
+        audio = _audio(cfg, T, seed=9)
+        sess = LiveSession.create(cfg, variables, pid,
+                                  jax.random.PRNGKey(10), window_frames=12)
+        assert sess.size == 12 and sess.overlap == 4  # capped config overlap
+
+        # frames start flowing after ~12 frames of audio, not 34
+        hop = cfg.data.mel_hop
+        n_first = 13 * hop  # window gate: ceil past the 12-frame span
+        out_early = sess.push(audio[:n_first])
+        assert out_early.shape[1] > 0, "no frames after a 12-frame span"
+        out_rest = sess.push(audio[n_first:])
+        full = sess.finish()
+        assert full.shape == (1, T, cfg.model.motion_dim)
+        assert np.isfinite(full).all()
+        # emitted + finish tail tile the whole clip
+        assert out_early.shape[1] + out_rest.shape[1] <= T
+
+    def test_window_frames_zero_is_default(self):
+        cfg, _, pid = _setup(seed=11)
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(11))
+        sess = LiveSession.create(cfg, variables, pid, jax.random.PRNGKey(12))
+        assert sess.size == cfg.data.n_poses
+        assert sess.overlap == cfg.stream.overlap_len
