@@ -90,6 +90,10 @@ class ModelConfig:
     # 2x-channel output head for ModelVarType.LEARNED/LEARNED_RANGE sampling
     # and the hybrid VLB loss (gaussian_diffusion.py:549-566,1363-1374)
     learned_variance: bool = False
+    # per-layer activation remat in training (jax.checkpoint / nn.remat):
+    # trades backward-pass recompute FLOPs for HBM, fitting the reference's
+    # global batch 2500 on one chip (PERF.md training ladder)
+    remat: bool = False
     compute_dtype: str = "float32"  # dtype for matmuls inside the denoiser
 
     @property

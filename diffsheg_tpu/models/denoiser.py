@@ -99,6 +99,9 @@ class MotionDenoiser(nn.Module):
     # (reference gaussian_diffusion.py:549-566; the reference transformer
     # never grows its head — this completes the diffusion core's contract)
     learned_variance: bool = False
+    # per-layer activation rematerialisation for training (backward-pass
+    # recompute instead of stored activations; see the stack loop)
+    remat: bool = False
     # text/emotion conditioning (see ModelConfig.add_text_cond notes)
     word_f: int = 128
     emotion_f: int = 8
@@ -265,8 +268,17 @@ class MotionDenoiser(nn.Module):
         cond = jnp.concatenate([audio_lat] + cond_parts, axis=-1)
 
         # --- transformer stack -------------------------------------------
+        # remat: recompute each layer's activations in the backward pass
+        # instead of storing them — the standard JAX memory/FLOPs trade that
+        # makes the reference's global batch (2500) fit one chip's HBM
+        # (PERF.md training ladder).  static_argnums counts self at 0, so
+        # ``train`` (a python bool) is argnum 7.
+        layer_cls = DiffusionTransformerLayer
+        if self.remat and train:
+            layer_cls = nn.remat(DiffusionTransformerLayer,
+                                 static_argnums=(7,))
         for i in range(self.num_layers):
-            h = DiffusionTransformerLayer(
+            h = layer_cls(
                 self.latent_dim,
                 self.ff_size,
                 self.num_heads,
@@ -275,7 +287,7 @@ class MotionDenoiser(nn.Module):
                 model_base=self.model_base,
                 name=f"layer_{i}",
             )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb,
-              train=train, mods=None if mods is None else mods[i])
+              train, None if mods is None else mods[i])
 
         out_feats = self.input_feats * (2 if self.learned_variance else 1)
         out = nn.Dense(out_feats, dtype=compute, name="out")(h)

@@ -88,6 +88,7 @@ class SingleBranchDenoiser(nn.Module):
             null_cond_prob=c.null_cond_prob,
             cond_scale=c.cond_scale,
             learned_variance=c.learned_variance,
+            remat=c.remat,
             model_base=c.model_base,
             dropout=c.dropout,
             word_f=c.word_f, emotion_f=c.emotion_f,

@@ -34,7 +34,8 @@ import numpy as np
 PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 
-def build(batch: int, dtype: str, donate_batch: bool = True):
+def build(batch: int, dtype: str, donate_batch: bool = True,
+          remat: bool = False):
     import dataclasses
 
     from diffsheg_tpu.config import beat_config
@@ -44,9 +45,12 @@ def build(batch: int, dtype: str, donate_batch: bool = True):
     from diffsheg_tpu.train.step import create_train_state, make_train_step
 
     cfg = beat_config()
-    if dtype != "float32":
+    if dtype != "float32" or remat:
         cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, compute_dtype=dtype))
+            cfg.model,
+            compute_dtype=dtype if dtype != "float32"
+            else cfg.model.compute_dtype,
+            remat=remat))
     _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
                                     jax.random.PRNGKey(0))
     sched = make_schedule(get_named_beta_schedule(
@@ -72,35 +76,46 @@ def build(batch: int, dtype: str, donate_batch: bool = True):
     return cfg, state, step, device_batch, make_host_batch
 
 
-def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False):
-    cfg, state, step, device_batch, make_host_batch = build(batch, dtype)
+def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
+            remat: bool = False):
+    cfg, state, step, device_batch, make_host_batch = build(
+        batch, dtype, remat=remat)
     B, T = batch, cfg.data.n_poses
 
-    # warm up / compile
+    # AOT-compile ONCE; the Compiled object serves both the timed calls and
+    # XLA's own FLOP count for the MFU estimate (calling step() and then
+    # .lower().compile() would compile the program twice — minutes each on
+    # the remote TPU)
     t0 = time.perf_counter()
-    state, terms = step(state, device_batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(terms.total)
+    lowered = step.lower(state, device_batch, jax.random.PRNGKey(1))
+    step = lowered.compile()
     compile_s = time.perf_counter() - t0
-
-    # XLA's own FLOP count for the MFU estimate
     try:
-        lowered = step.lower(state, device_batch, jax.random.PRNGKey(1))
-        cost = lowered.compile().cost_analysis()
+        cost = step.cost_analysis()
+        if isinstance(cost, list):  # per-device list on some backends
+            cost = cost[0] if cost else {}
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
     except Exception:
         flops = 0.0
 
+    # warm up (first execution may still pay transfers)
+    state, terms = step(state, device_batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(terms.total)
+
     times = []
     if pipeline:
         # feed through the production loader (host gather + transfer in the
-        # loop) to expose input-pipeline overhead
+        # loop) to expose input-pipeline overhead.  The source arrays are
+        # pre-generated ONCE: the measured cost is gather + host->device
+        # transfer, not synthetic randn generation.
+        host = make_host_batch(1)
+
         class _Ds:
             def __len__(self):
                 return B * 4
 
             def batch(self, idx):
-                h = make_host_batch(1)
-                return {k: v[:len(idx)] for k, v in h.items()}
+                return {k: v[np.asarray(idx) % B] for k, v in host.items()}
 
         from diffsheg_tpu.data.loader import ShardedBatchLoader
         loader = ShardedBatchLoader(_Ds(), global_batch_size=B, prefetch=2)
@@ -124,6 +139,7 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False):
     return {
         "batch": B,
         "dtype": dtype,
+        "remat": remat,
         "step_ms": round(dt * 1e3, 1),
         "windows_per_s": round(B / dt, 1),
         "frames_per_s": round(B * T / dt, 0),
@@ -136,15 +152,23 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False):
 
 
 def main():
+    if os.environ.get("TRAIN_BENCH_PIPELINE"):
+        # just the input-pipeline-overlap point (re-runnable in isolation)
+        r = measure(1024, "bfloat16", reps=4, pipeline=True)
+        print(json.dumps(r), flush=True)
+        return
     if os.environ.get("TRAIN_BENCH_MATRIX"):
         rows = []
-        for batch, dtype in [(128, "float32"), (512, "float32"),
-                             (512, "bfloat16"), (1024, "bfloat16"),
-                             (2500, "float32"), (2500, "bfloat16")]:
+        for batch, dtype, remat in [
+                (128, "float32", False), (512, "float32", False),
+                (512, "bfloat16", False), (1024, "bfloat16", False),
+                (2500, "float32", False), (2500, "bfloat16", False),
+                (2500, "bfloat16", True), (2500, "float32", True)]:
             try:
-                r = measure(batch, dtype)
+                r = measure(batch, dtype, remat=remat)
             except Exception as e:  # e.g. HBM OOM at the largest point
                 print(json.dumps({"batch": batch, "dtype": dtype,
+                                  "remat": remat,
                                   "error": str(e)[:200]}), flush=True)
                 continue
             print(json.dumps(r), flush=True)

@@ -259,3 +259,47 @@ class TestShardedInference:
         # 25-step denoise chain amplifies that to ~1e-4 relative
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-2,
                                    rtol=1e-3)
+
+
+def test_remat_training_is_bit_identical():
+    """model.remat recomputes layer activations in the backward pass
+    (nn.remat over DiffusionTransformerLayer) — pure memory/FLOPs trade,
+    so one injected-randoms train step must match the stored-activation
+    step exactly."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from diffsheg_tpu.config import (Config, DiffusionConfig, ModelConfig,
+                                     TrainConfig)
+    from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                 make_schedule)
+    from diffsheg_tpu.models.factory import init_denoiser
+    from diffsheg_tpu.train.step import create_train_state, make_train_step
+
+    def one_step(remat):
+        cfg = Config(
+            model=ModelConfig(
+                pose_dim=8, expression_dim=4, latent_dim=32, num_layers=2,
+                num_heads=4, ff_size=64, audio_dim=16, aud_latent_dim=16,
+                style_dim=4, add_hubert=False, encode_hubert=False,
+                remat=remat),
+            diffusion=DiffusionConfig(num_steps=50, respacing=""),
+            train=TrainConfig(batch_size=8, use_sem_weighting=False, seed=0))
+        _, variables = init_denoiser(cfg.model, 6, jax.random.PRNGKey(0))
+        sched = make_schedule(get_named_beta_schedule("linear", 50))
+        state = create_train_state(cfg, variables)
+        step = make_train_step(cfg, sched, inject_randoms=True)
+        rs = np.random.RandomState(0)
+        batch = {"motion": jnp.asarray(rs.randn(8, 6, 12), jnp.float32),
+                 "mel": jnp.asarray(rs.randn(8, 6, 16), jnp.float32),
+                 "pid": jnp.eye(4)[jnp.arange(8) % 4]}
+        t = jnp.asarray(rs.randint(0, 50, 8), jnp.int32)
+        noise = jnp.asarray(rs.randn(8, 6, 12), jnp.float32)
+        state, terms = step(state, batch, t, noise)
+        pnorm = sum(jnp.abs(x).sum() for x in jax.tree.leaves(state.params))
+        return float(terms.total), float(pnorm)
+
+    plain = one_step(False)
+    remat = one_step(True)
+    np.testing.assert_allclose(plain, remat, rtol=1e-6)
