@@ -28,6 +28,88 @@ import numpy as np
 BASELINE_FPS = 55.0  # A100, inference_custom_audio_beat.sh:15
 
 
+def check():
+    """On-device fast-path numerics assertion (--check).
+
+    Compares the Mosaic-compiled serving path (whole-layer Pallas kernel +
+    fused linear attention + level cache) against the plain Flax/XLA
+    composition ON THE CURRENT BACKEND, with identical weights and rng:
+
+      - f32 fast vs f32 plain: the kernels implement identical math, so
+        the outputs must agree to float tolerance (rel RMS < 5e-3);
+      - bf16 fast vs f32 plain: bounded reduced-precision drift
+        (rel RMS < 2.5e-2 — measured ~0.4-1%).
+
+    Exits non-zero on violation so TPU-only Mosaic regressions fail loudly
+    instead of shipping as silent quality drift.  Prints one JSON line.
+    """
+    import dataclasses
+
+    from diffsheg_tpu.config import beat_config
+    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+    from diffsheg_tpu.sampling.generator import WindowGenerator
+    from diffsheg_tpu.sampling.streamer import StreamingGenerator
+
+    base = beat_config()
+    base = base.replace(diffusion=dataclasses.replace(
+        base.diffusion, jump_n_sample=2))
+    _, variables = init_unidiffuser(base.model, base.data.n_poses,
+                                    jax.random.PRNGKey(0))
+
+    # ~5 s of frames: a first window + one RePaint continuation window,
+    # exercising both compiled programs without the full-stream compile
+    T = base.data.n_poses * 2  # 68 frames
+    rs = np.random.RandomState(0)
+    mel = jnp.asarray(rs.randn(1, T, base.model.audio_dim), jnp.float32)
+    hubert = jnp.zeros((1, T, base.model.hubert_dim), jnp.float32)
+    pid = jax.nn.one_hot(jnp.array([1]), base.model.style_dim)
+    key = jax.random.PRNGKey(7)
+
+    def run(cfg, no_pallas=False):
+        if no_pallas:
+            os.environ["DIFFSHEG_NO_PALLAS"] = "1"
+        try:
+            out = StreamingGenerator(WindowGenerator(cfg, variables)).generate(
+                mel, pid, key, hubert=hubert)
+            return np.asarray(out, np.float64)
+        finally:
+            os.environ.pop("DIFFSHEG_NO_PALLAS", None)
+
+    def variant(dtype, fast):
+        cfg = base.replace(model=dataclasses.replace(
+            base.model, compute_dtype=dtype))
+        if not fast:
+            cfg = cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer="off", level_cache=False))
+        return cfg
+
+    plain32 = run(variant("float32", fast=False), no_pallas=True)
+    fast32 = run(variant("float32", fast=True))
+    fast16 = run(variant("bfloat16", fast=True))
+
+    def rel_rms(a, b):
+        return float(np.sqrt(((a - b) ** 2).mean()) /
+                     np.sqrt((b ** 2).mean()))
+
+    r32 = rel_rms(fast32, plain32)
+    r16 = rel_rms(fast16, plain32)
+    ok = r32 < 5e-3 and r16 < 2.5e-2
+    print(f"check[{jax.default_backend()}]: "
+          f"f32 fast-vs-plain rel_rms={r32:.2e} (tol 5e-3)  "
+          f"bf16 fast-vs-plain rel_rms={r16:.2e} (tol 2.5e-2)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "fastpath_rel_rms",
+        "value": round(r32, 6),
+        "unit": "rel_rms_f32",
+        "bf16_rel_rms": round(r16, 6),
+        "backend": jax.default_backend(),
+        "ok": ok,
+    }))
+    if not ok:
+        sys.exit(1)
+
+
 def main():
     import dataclasses
 
@@ -132,4 +214,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        check()
+    else:
+        main()

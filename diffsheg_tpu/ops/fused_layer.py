@@ -426,6 +426,14 @@ def fused_layer(x: jax.Array,         # (B, T, L)
     flops = 2 * B * T * (Cp * 2 * L + 2 * L * L + 5 * L * L + 2 * L * F) \
         + 4 * B * T * L * (L // num_heads)
     weight_bytes = sum(p.size * p.dtype.itemsize for p in lp)
+    kwargs = {}
+    if not interpret:
+        # at the shipped width one layer's weights are ~4 MB bf16 / ~8 MB
+        # f32; f32 weights + stack overflow the default 16 MB scoped-vmem
+        # budget by ~50 KB (observed via bench.py --check), so raise the
+        # limit — v5e has 128 MB of vmem
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_kernel, num_heads, c_real, cdtype),
         grid=(B,),
@@ -438,4 +446,5 @@ def fused_layer(x: jax.Array,         # (B, T, L)
             transcendentals=B * T * (2 * L + 2 * L + F),
         ),
         interpret=interpret,
+        **kwargs,
     )(x, feats, mod_sa, mod_ffn, *lp)

@@ -135,7 +135,16 @@ fused_linear_attention.defvjp(_fwd, _bwd)
 
 
 def supports_pallas() -> bool:
-    """Fused path available on this backend?"""
+    """Fused path available on this backend?
+
+    ``DIFFSHEG_NO_PALLAS=1`` force-disables every Pallas kernel — the
+    numerics A/B switch used by ``bench.py --check`` (and a serving escape
+    hatch for Mosaic compiler regressions).  Read dynamically so a process
+    can trace both variants.
+    """
+    import os
+    if os.environ.get("DIFFSHEG_NO_PALLAS"):
+        return False
     if not _HAS_PALLAS:
         return False
     try:
