@@ -125,7 +125,8 @@ def main():
 
     cfg = beat_config()
     cfg = cfg.replace(diffusion=dataclasses.replace(
-        cfg.diffusion, jump_n_sample=2))
+        cfg.diffusion, jump_n_sample=2,
+        fused_step=os.environ.get("BENCH_FUSED_STEP", "auto")))
     # TPU serving configuration: bfloat16 weights + compute in the sampler
     # (MXU-native; measured 1.47x over f32 with ~0.4% relative output RMS
     # deviation — see examples/perf_probe.py).  The frontend stays f32.

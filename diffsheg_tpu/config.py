@@ -133,6 +133,13 @@ class DiffusionConfig:
     scan_unroll: int = 1   # lax.scan unroll factor for the sampler loop
                            # (>1 trades compile time for fewer loop-carried
                            # dispatch boundaries)
+    fused_step: str = "auto"   # streamlined post-model DDIM+RePaint step
+                               # math (ops/step_math.py): scalars hoisted
+                               # out of the scan + algebraic eps identity.
+                               # 'auto' = jnp composition on TPU; 'jnp'
+                               # force; 'on' = per-step Pallas kernel
+                               # (measured slower end-to-end — kept for
+                               # experiments); 'off' = general path
     fused_layer: str = "auto"  # whole-layer Pallas kernel in the sampler
                                # ('auto' = on for TPU backends when the
                                # level cache applies; 'on' forces it —

@@ -175,12 +175,24 @@ def ddim_sample_program(
     prev_saved_tails: Optional[jax.Array] = None,
     prev_tails_valid: Optional[jax.Array] = None,
     unroll: int = 1,
+    fused_step: str = "none",
+    fused_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run a full reverse program and return ``(sample, saved_tails)``.
 
     ``saved_tails`` is meaningful only under ``same_overlap_noisy``: per
     timestep, the noisy overlap tail of this window, consumed by the next
     window's projection (reference gaussian_diffusion.py:1040-1042,1058-1060).
+
+    ``fused_step`` routes the post-model step math (pred-xstart + DDIM
+    update + RePaint projection) through ops/step_math.py with the
+    schedule scalars gathered once before the scan and no dead-noise RNG
+    — applicable to the shipped serving configuration (epsilon / no clip
+    / eta=0); other configurations silently use the general composition.
+    Modes: 'none' (general path), 'jnp' (streamlined jnp composition —
+    XLA still fuses it with neighbours), 'pallas' (one kernel per step —
+    measured SLOWER end-to-end than 'jnp' on v5e because the opaque call
+    blocks cross-op fusion; kept for kernel experiments).
     """
     B = noise.shape[0]
     do_repaint = repaint is not None and repaint.overlap_len > 0 and gt is not None
@@ -191,8 +203,27 @@ def ddim_sample_program(
     use_prev = track_tails and prev_saved_tails is not None
     prev_tails = prev_saved_tails if use_prev else tails0
 
+    use_fast = (fused_step != "none" and mean_type == "epsilon"
+                and not clip_denoised and eta == 0.0)
+    if use_fast:
+        from diffsheg_tpu.ops.step_math import ddim_repaint_step
+        valid = (prev_tails_valid if use_prev and prev_tails_valid is not None
+                 else jnp.asarray(use_prev))
+        # per-step schedule scalars, gathered ONCE for the whole program
+        # (the in-step _gather would broadcast the same scalar B times at
+        # every level)
+        scal_all = jnp.stack([
+            jnp.take(sched.alphas_cumprod_prev, program.t),
+            jnp.take(sched.sqrt_recip_alphas_cumprod, program.t),
+            jnp.take(sched.sqrt_recipm1_alphas_cumprod, program.t),
+            jnp.broadcast_to(jnp.asarray(valid, jnp.float32).reshape(()),
+                             program.t.shape),
+        ], axis=1).astype(jnp.float32)
+    else:
+        scal_all = jnp.zeros((program.t.shape[0], 4), jnp.float32)
+
     def step(state: SampleState, prog) -> Tuple[SampleState, None]:
-        t_scalar, is_denoise = prog
+        t_scalar, is_denoise, scal = prog
         x, key, tails = state
         key, k_model_noise, k_gt, k_undo = jax.random.split(key, 4)
         t = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -204,21 +235,38 @@ def ddim_sample_program(
             # reads only pred_xstart, gaussian_diffusion.py:1005-1032) but the
             # mean half must be split out before the eps math (:549-552).
             model_out, _ = split_model_output(denoise_fn(x, t), var_type)
-            x0 = _pred_xstart(sched, mean_type, x, t, model_out, clip_denoised)
-            x_new = ddim_update(
-                sched, x, t, x0, jax.random.normal(k_model_noise, x.shape), eta
-            )
-            if do_repaint:
-                prev_tail = (
-                    jnp.take(prev_tails, t_scalar, axis=0) if use_prev else None
+            if use_fast:
+                prev_tail = (jnp.take(prev_tails, t_scalar, axis=0)
+                             if use_prev else None)
+                gt_noise = (jax.random.normal(k_gt, x.shape)
+                            if do_repaint else None)
+                x_new = ddim_repaint_step(
+                    x, model_out, scal,
+                    gt if do_repaint else None, gt_noise, prev_tail,
+                    ov if do_repaint else 0,
+                    repaint.add_blend if do_repaint else False,
+                    use_fused=fused_step == "pallas",
+                    interpret=fused_interpret,
+                ).astype(x.dtype)
+            else:
+                x0 = _pred_xstart(sched, mean_type, x, t, model_out,
+                                  clip_denoised)
+                x_new = ddim_update(
+                    sched, x, t, x0,
+                    jax.random.normal(k_model_noise, x.shape), eta
                 )
-                x_new = repaint_project(
-                    sched, repaint, x_new, t, gt,
-                    jax.random.normal(k_gt, x.shape), prev_tail,
-                    prev_tails_valid if use_prev else None,
-                )
-                if track_tails:
-                    tails = tails.at[t_scalar].set(x_new[:, -repaint.overlap_len:])
+                if do_repaint:
+                    prev_tail = (
+                        jnp.take(prev_tails, t_scalar, axis=0)
+                        if use_prev else None
+                    )
+                    x_new = repaint_project(
+                        sched, repaint, x_new, t, gt,
+                        jax.random.normal(k_gt, x.shape), prev_tail,
+                        prev_tails_valid if use_prev else None,
+                    )
+            if do_repaint and track_tails:
+                tails = tails.at[t_scalar].set(x_new[:, -repaint.overlap_len:])
             return x_new, tails
 
         def undo_branch(operand):
@@ -232,7 +280,7 @@ def ddim_sample_program(
         return SampleState(x, key, tails), None
 
     init = SampleState(noise, rng, tails0)
-    final, _ = jax.lax.scan(step, init, (program.t, program.denoise),
+    final, _ = jax.lax.scan(step, init, (program.t, program.denoise, scal_all),
                             unroll=unroll)
     return final.x, final.saved_tails
 

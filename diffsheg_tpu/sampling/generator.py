@@ -118,6 +118,19 @@ class WindowGenerator:
         self._use_fused_layer = use_fast
         fast_chain = fused_mode == "chain"
         fast_interpret = not on_tpu
+        # streamlined step math (ops/step_math.py): scalar tables hoisted
+        # out of the scan, dead eta=0 noise elided, algebraic eps identity.
+        # 'auto' -> the jnp composition on TPU (measured faster than both
+        # the general path and the opaque per-step Pallas kernel, which
+        # blocks cross-op fusion); 'jnp'/'on'(pallas)/'off' force modes.
+        step_mode = getattr(diff, "fused_step", "auto")
+        use_fused_step = {
+            "off": "none",
+            "auto": "jnp" if on_tpu else "none",
+            "jnp": "jnp",
+            "on": "pallas",
+        }.get(step_mode, "none")
+        self._use_fused_step = use_fused_step
 
         def build_cache(variables, mel, pid, hubert):
             """Leveled conditioning cache for one window (None when the
@@ -205,6 +218,7 @@ class WindowGenerator:
                 mean_type=diff.mean_type, var_type=diff.var_type,
                 clip_denoised=diff.clip_denoised,
                 unroll=diff.scan_unroll,
+                fused_step=use_fused_step, fused_interpret=fast_interpret,
             )
             return x
 
@@ -222,6 +236,7 @@ class WindowGenerator:
                 repaint=spec, gt=gt, prev_saved_tails=prev_tails,
                 prev_tails_valid=prev_tails_valid,
                 unroll=diff.scan_unroll,
+                fused_step=use_fused_step, fused_interpret=fast_interpret,
             )
 
         def plain_auto(variables, mel, pid, hubert, rng):
