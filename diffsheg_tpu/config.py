@@ -286,6 +286,25 @@ class Config:
         )
 
 
+def check_variance_coupling(cfg: Config) -> None:
+    """A learned-variance head and a learned var_type come as a pair: the
+    sampler/loss split the 2C output iff ``var_type`` is learned*, and the
+    model emits 2C channels iff ``model.learned_variance`` (the reference
+    couples them through ModelVarType at gaussian_diffusion.py:549-566).
+    Raise early with guidance instead of a trace-time shape error."""
+    learned = cfg.diffusion.var_type in ("learned", "learned_range")
+    if cfg.model.learned_variance and not learned:
+        raise ValueError(
+            "model.learned_variance=True needs diffusion.var_type="
+            "'learned' or 'learned_range' (got "
+            f"{cfg.diffusion.var_type!r}) — the 2C output must be split")
+    if learned and not cfg.model.learned_variance:
+        raise ValueError(
+            f"diffusion.var_type={cfg.diffusion.var_type!r} needs "
+            "model.learned_variance=True — the model must emit a variance "
+            "head")
+
+
 def resolve(cfg: Config) -> Config:
     """Apply the cross-field constants the reference injects in code.
 
@@ -295,6 +314,7 @@ def resolve(cfg: Config) -> Config:
     raw 1).  Only rewrites dims still at their full-preset defaults, so
     explicit ``--set model.pose_dim=...`` overrides win.
     """
+    check_variance_coupling(cfg)
     model = cfg.model
     if cfg.data.remove_hand:
         is_beat = cfg.data.dataset_name == "beat"

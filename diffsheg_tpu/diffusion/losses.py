@@ -74,16 +74,23 @@ def diffusion_loss(
     vb = jnp.zeros(())
     if cfg.loss_type in ("kl", "rescaled_kl") or var_out is not None:
         from diffsheg_tpu.diffusion.vlb import vb_term_from_output
+        vb_var_type = var_type
         if var_out is None:
+            vb_var_type = "learned_range"
             # kl losses with a fixed variance still evaluate the bound with
-            # the posterior variance; synthesise the 2C layout with the raw
-            # value that reproduces fixed_small under learned_range (frac=0)
-            var_out = jnp.full_like(model_out, -1.0)
+            # that variance; synthesise the 2C layout with the raw value
+            # whose learned_range interpolation reproduces it — frac=0 is
+            # exactly fixed_small, frac=1 is fixed_large at every t>0
+            # (fixed_large's t=0 entry is posterior_variance[1], not
+            # betas[0] — a corner the interpolation can't express; those
+            # rows use the decoder NLL with a slightly different scale)
+            fill = 1.0 if var_type == "fixed_large" else -1.0
+            var_out = jnp.full_like(model_out, fill)
         full_out = jnp.concatenate([model_out, var_out], axis=-1)
         hybrid = cfg.loss_type in ("mse", "rescaled_mse")
         per_sample_vb = vb_term_from_output(
             sched, x_start, x_t, t, full_out, mean_type=mean_type,
-            var_type=var_type, clip_denoised=False,
+            var_type=vb_var_type, clip_denoised=False,
             # hybrid objective detaches the mean half so the VLB trains only
             # the variance head (:1366-1369)
             freeze_mean=hybrid,

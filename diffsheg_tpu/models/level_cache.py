@@ -91,11 +91,18 @@ class AudioCache(NamedTuple):
 
 def supports_level_cache(cfg: ModelConfig) -> bool:
     """The cache covers the shipped joint model; rare conditioning variants
-    fall back to the uncached forward."""
+    fall back to the uncached forward.
+
+    The decoder base has no per-layer feat_proj (its cross-attention takes
+    the raw condition), and a learned-variance head changes the output
+    width and the UniDiffuser x0 bridge — both take the general path.
+    """
     return (
         cfg.branch_mode == "joint"
         and not cfg.add_text_cond
         and not cfg.add_emo_cond
+        and cfg.model_base == "transformer_encoder"
+        and not cfg.learned_variance
     )
 
 

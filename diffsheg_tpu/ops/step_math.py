@@ -99,9 +99,10 @@ def _kernel(ov: int, add_blend: bool, has_tail: bool, has_gt: bool,
     if has_tail:
         head = jnp.where(scal_ref[3] > 0, tail_ref[0], head)
     if add_blend:
-        # Mosaic iota must be integer-typed; convert after
+        # Mosaic iota must be integer-typed; convert after.  max(ov-1,1)
+        # matches jnp.linspace(0,1,1)==[0.] at ov=1 (plain ov-1 would be 0/0)
         w = jax.lax.broadcasted_iota(
-            jnp.int32, (ov, 1), 0).astype(jnp.float32) / float(ov - 1)
+            jnp.int32, (ov, 1), 0).astype(jnp.float32) / float(max(ov - 1, 1))
         blended = head * (1.0 - w) + mean[:ov] * w
         head = jnp.where(noise_w < 0.2, blended, head)
     o_ref[0] = jnp.concatenate([head, mean[ov:]], axis=0)
@@ -160,15 +161,10 @@ def fused_ddim_repaint_step(
 
 
 def supports_fused_step() -> bool:
-    import os
-    if os.environ.get("DIFFSHEG_NO_PALLAS"):
-        return False
-    if not _HAS_PALLAS:
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    """Kernel path available?  One shared Pallas dispatch policy
+    (kill-switch + backend probe) lives in ops/linear_attention.py."""
+    from diffsheg_tpu.ops.linear_attention import supports_pallas
+    return supports_pallas()
 
 
 def ddim_repaint_step(
@@ -185,6 +181,13 @@ def ddim_repaint_step(
 ) -> jax.Array:
     if use_fused is None:
         use_fused = supports_fused_step()
+    elif use_fused:
+        # the global kill-switch overrides an explicit fused_step='on'
+        # (serving escape hatch for Mosaic regressions; bench.py --check
+        # relies on it to A/B every Pallas kernel at once)
+        import os
+        if os.environ.get("DIFFSHEG_NO_PALLAS"):
+            use_fused = False
     if use_fused:
         return fused_ddim_repaint_step(
             x, eps_out, scal, gt, gt_noise, prev_tail, overlap_len,

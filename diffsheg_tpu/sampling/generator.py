@@ -50,6 +50,8 @@ class WindowGenerator:
     """Compiled window-level sampling for a UniDiffuser checkpoint."""
 
     def __init__(self, cfg: Config, variables: Dict[str, Any]):
+        from diffsheg_tpu.config import check_variance_coupling
+        check_variance_coupling(cfg)
         self.cfg = cfg
         # inference-time reduced precision: store the weights IN the compute
         # dtype so the sampler runs cast-free (bf16 params measured 1.47x

@@ -110,6 +110,8 @@ def make_train_step(
     reference-lockstep training-parity tests to run both frameworks on
     identical randomness.
     """
+    from diffsheg_tpu.config import check_variance_coupling
+    check_variance_coupling(cfg)
     model = build_denoiser(cfg.model)
     tx = make_optimizer(cfg)
 

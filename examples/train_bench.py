@@ -34,8 +34,7 @@ import numpy as np
 PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 
-def build(batch: int, dtype: str, donate_batch: bool = True,
-          remat: bool = False):
+def build(batch: int, dtype: str, remat: bool = False):
     import dataclasses
 
     from diffsheg_tpu.config import beat_config

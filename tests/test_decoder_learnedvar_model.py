@@ -195,3 +195,109 @@ def test_decoder_mode_beat_preset_resolves():
 def dataclasses_replace_model(model, **kw):
     import dataclasses
     return dataclasses.replace(model, **kw)
+
+def test_fast_paths_excluded_for_new_model_variants():
+    """The level cache / fused forward cover only the shipped encoder
+    model; the decoder base (no feat_proj) and learned-variance head (2C
+    output + changed x0 bridge) must fall back to the general forward."""
+    from diffsheg_tpu.models.fast_forward import supports_fast_forward
+    from diffsheg_tpu.models.level_cache import supports_level_cache
+
+    assert supports_level_cache(_small_cfg())
+    assert not supports_level_cache(_small_cfg(learned_variance=True))
+    assert not supports_level_cache(
+        _small_cfg(model_base="transformer_decoder"))
+    assert not supports_fast_forward(_small_cfg(learned_variance=True))
+    assert not supports_fast_forward(
+        _small_cfg(model_base="transformer_decoder"))
+
+
+def _tiny_serving_cfg(model_kw, diff_kw=None):
+    import dataclasses
+
+    cfg = beat_config()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+        add_hubert=False, **model_kw))
+    if diff_kw:
+        cfg = cfg.replace(diffusion=dataclasses.replace(
+            cfg.diffusion, **diff_kw))
+    return cfg
+
+
+@pytest.mark.parametrize("model_kw,diff_kw", [
+    ({"learned_variance": True}, {"var_type": "learned_range"}),
+    ({"model_base": "transformer_decoder"}, None),
+])
+def test_new_variants_sample_through_default_generator(model_kw, diff_kw):
+    """Regression: with the DEFAULT serving config (level_cache on,
+    fused_layer auto) a learned-variance or decoder-base model must
+    generate — previously the fast path was entered and crashed at trace
+    time (shape mismatch in the x0 bridge / KeyError feat_proj)."""
+    from diffsheg_tpu.sampling.generator import WindowGenerator
+
+    cfg = _tiny_serving_cfg(model_kw, diff_kw)
+    assert cfg.diffusion.level_cache  # the default that used to crash
+    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                    jax.random.PRNGKey(0))
+    gen = WindowGenerator(cfg, variables)
+    B, T = 1, cfg.data.n_poses
+    rs = np.random.RandomState(5)
+    mel = jnp.asarray(rs.randn(B, T, cfg.model.audio_dim), jnp.float32)
+    pid = jax.nn.one_hot(jnp.zeros((B,), jnp.int32), cfg.model.style_dim)
+    out = gen.generate(mel, pid, jax.random.PRNGKey(2))
+    if isinstance(out, tuple):
+        out = out[0]
+    assert out.shape == (B, T, cfg.model.motion_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kl_loss_with_fixed_variance_production_signature():
+    """Regression: train/step.py passes var_type=cfg.diffusion.var_type
+    ('fixed_small' by default); kl losses must evaluate the bound with that
+    fixed variance instead of raising ValueError."""
+    from diffsheg_tpu.diffusion.losses import diffusion_loss
+    from diffsheg_tpu.diffusion.schedule import (
+        get_named_beta_schedule, make_schedule)
+    from diffsheg_tpu.diffusion.vlb import vlb_term
+
+    cfg = TrainConfig(loss_type="kl", use_sem_weighting=False)
+    sched = make_schedule(get_named_beta_schedule("linear", 50))
+    rng = np.random.RandomState(6)
+    B, T, C = 3, 5, 4
+    x0 = jnp.asarray(rng.randn(B, T, C), dtype=jnp.float32)
+    noise = jnp.asarray(rng.randn(B, T, C), dtype=jnp.float32)
+    t = jnp.asarray([0, 10, 40])
+    x_t = sched.q_sample(x0, t, noise)
+    out = jnp.asarray(0.3 * rng.randn(B, T, C), dtype=jnp.float32)
+
+    terms = diffusion_loss(sched, out, x0, x_t, t, noise, cfg,
+                           var_type="fixed_small", mean_type="epsilon")
+    assert np.isfinite(float(terms.total))
+
+    # oracle: the bound with the posterior (fixed_small) variance directly
+    pred_x0 = sched.predict_xstart_from_eps(x_t, t, out)
+    pred_mean = sched.q_posterior_mean(pred_x0, x_t, t)
+    logvar = jnp.broadcast_to(
+        sched.posterior_log_variance_clipped[t][:, None, None], x_t.shape)
+    want = vlb_term(sched, x0, x_t, t, pred_mean, logvar).mean()
+    np.testing.assert_allclose(float(terms.vb), float(want), rtol=1e-5)
+
+def test_variance_coupling_validated_early():
+    """learned_variance and var_type must be set as a pair; the mismatch
+    raises a config error instead of a trace-time shape crash."""
+    from diffsheg_tpu.sampling.generator import WindowGenerator
+
+    cfg = _tiny_serving_cfg({"learned_variance": True})  # var_type default
+    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                    jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="learned_variance"):
+        WindowGenerator(cfg, variables)
+
+    from diffsheg_tpu.config import resolve
+    import dataclasses
+    bad = beat_config()
+    bad = bad.replace(diffusion=dataclasses.replace(
+        bad.diffusion, var_type="learned_range"))
+    with pytest.raises(ValueError, match="learned_variance"):
+        resolve(bad)

@@ -150,3 +150,40 @@ def test_harmonize_program_with_undo_steps_matches():
             fused_step=mode, fused_interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
                                    rtol=1e-5, err_msg=mode)
+
+def test_kernel_overlap_one_is_finite():
+    """ov=1 with add_blend: the kernel's blend weight must match
+    jnp.linspace(0,1,1)==[0.] instead of dividing 0/0 (regression)."""
+    rs = np.random.RandomState(0)
+    B, T, C = 1, 6, 4
+    x = jnp.asarray(rs.randn(B, T, C), jnp.float32)
+    eps = jnp.asarray(0.2 * rs.randn(B, T, C), jnp.float32)
+    gt = jnp.asarray(rs.randn(B, T, C), jnp.float32)
+    gtn = jnp.asarray(rs.randn(B, T, C), jnp.float32)
+    scal = _scal(0)  # t=0: noise_w small -> blend branch active
+    want = ddim_repaint_step_reference(x, eps, scal, gt, gtn, None, 1, True)
+    got = fused_ddim_repaint_step(x, eps, scal, gt, gtn, None, 1, True,
+                                  interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6,
+                               rtol=1e-6)
+
+
+def test_no_pallas_env_overrides_explicit_fused(monkeypatch):
+    """DIFFSHEG_NO_PALLAS=1 must disable the step kernel even when the
+    caller forces use_fused=True (the serving escape hatch)."""
+    from diffsheg_tpu.ops import step_math
+
+    def boom(*a, **k):
+        raise AssertionError("kernel ran despite DIFFSHEG_NO_PALLAS")
+
+    monkeypatch.setattr(step_math, "fused_ddim_repaint_step", boom)
+    monkeypatch.setenv("DIFFSHEG_NO_PALLAS", "1")
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(1, 6, 4), jnp.float32)
+    eps = jnp.asarray(rs.randn(1, 6, 4), jnp.float32)
+    out = step_math.ddim_repaint_step(x, eps, _scal(3), None, None, None, 0,
+                                      False, use_fused=True)
+    want = ddim_repaint_step_reference(x, eps, _scal(3), None, None, None, 0,
+                                       False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))
