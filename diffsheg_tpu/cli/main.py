@@ -323,6 +323,19 @@ def cmd_test_stream(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Write the self-contained HTML player for an exported BVH (+ face
+    JSON) — the reference's vendored pymo mocap web player
+    (datasets/pymo/mocapplayer/), redesigned as one dependency-free file."""
+    from diffsheg_tpu.viz.player import export_bvh_player
+
+    out = args.out or (os.path.splitext(args.bvh)[0] + "_player.html")
+    path = export_bvh_player(args.bvh, out, face_json=args.face,
+                             stride=args.stride)
+    print(f"player: {path}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="diffsheg_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -405,6 +418,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "per-clip BVH + face JSON are exported like the "
                          "reference's test result writing")
     sp.set_defaults(fn=cmd_test_stream)
+
+    sp = sub.add_parser(
+        "view", help="self-contained HTML motion player for an exported BVH")
+    sp.add_argument("--bvh", required=True)
+    sp.add_argument("--face", help="matching face JSON (blendshape bars)")
+    sp.add_argument("--out", help="output .html (default: <bvh>_player.html)")
+    sp.add_argument("--stride", type=int, default=1,
+                    help="frame subsampling for long clips")
+    sp.set_defaults(fn=cmd_view)
     return p
 
 
