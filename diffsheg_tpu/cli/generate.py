@@ -165,19 +165,23 @@ class CustomAudioPipeline:
 
     # -- postprocess / export ---------------------------------------------
     def export_beat(self, motion: np.ndarray, out_dir: str, name: str,
-                    template_bvh: Optional[str] = None) -> List[str]:
+                    template_bvh: Optional[str] = None,
+                    player: bool = False) -> List[str]:
         """De-normalize, convert to euler degrees, write BVH + face JSON
-        (reference ddpm_beat_trainer.py:1322-1341)."""
+        (reference ddpm_beat_trainer.py:1322-1341); ``player`` adds the
+        self-contained HTML viewer per clip."""
         from diffsheg_tpu.sampling.export import BeatMotionExporter
 
         assert self.motion_mean is not None, "need dataset stats for export"
         # one exporter per pipeline: its axis-angle->euler jit stays warm
         # across clips instead of retracing per export
         if self._exporter is None or \
-                self._exporter.template_bvh != template_bvh:
+                self._exporter.template_bvh != template_bvh or \
+                self._exporter.player != player:
             self._exporter = BeatMotionExporter(
                 self.cfg.model.pose_dim, self.cfg.data.fps,
-                self.motion_mean, self.motion_std, template_bvh)
+                self.motion_mean, self.motion_std, template_bvh,
+                player=player)
         exporter = self._exporter
         written: List[str] = []
         for b in range(motion.shape[0]):

@@ -194,7 +194,8 @@ def cmd_generate(args) -> int:
     name = os.path.splitext(os.path.basename(args.audio))[0]
     if args.dataset == "beat" and mean is not None:
         files = pipe.export_beat(res.motion, args.out_dir, name,
-                                 template_bvh=args.template_bvh)
+                                 template_bvh=args.template_bvh,
+                                 player=args.player)
     else:
         files = pipe.export_show(res.motion, args.out_dir, name,
                                  stats=stats)
@@ -312,7 +313,8 @@ def cmd_test_stream(args) -> int:
         exporter = BeatMotionExporter(
             cfg.model.pose_dim, cfg.data.fps,
             st.motion_mean, st.motion_std,
-            template_bvh=args.template_bvh)
+            template_bvh=args.template_bvh,
+            player=args.player)
     metrics = generate_testset(cfg, variables, ds, args.out_dir,
                                jax.random.PRNGKey(args.seed),
                                fgd_variables=_load_fgd_variables(args, cfg),
@@ -373,6 +375,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--speakers", default="1,3,5,7",
                     help="comma-separated speaker indices")
     sp.add_argument("--template-bvh")
+    sp.add_argument("--player", action="store_true",
+                    help="also write a self-contained HTML player per clip "
+                         "(needs --template-bvh)")
     sp.add_argument("--warmup", action="store_true",
                     help="compile first so the reported RTF is steady-state")
     sp.add_argument("--hubert-checkpoint",
@@ -417,6 +422,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="full-skeleton vis template; with --stats-dir, "
                          "per-clip BVH + face JSON are exported like the "
                          "reference's test result writing")
+    sp.add_argument("--player", action="store_true",
+                    help="also write a self-contained HTML player per clip "
+                         "(needs --template-bvh)")
     sp.set_defaults(fn=cmd_test_stream)
 
     sp = sub.add_parser(

@@ -25,7 +25,8 @@ class BeatMotionExporter:
 
     def __init__(self, pose_dim: int, fps: float,
                  motion_mean: np.ndarray, motion_std: np.ndarray,
-                 template_bvh: Optional[str] = None):
+                 template_bvh: Optional[str] = None,
+                 player: bool = False):
         from diffsheg_tpu.geometry.rotations import axis_angle_to_euler
 
         self.pose_dim = pose_dim
@@ -43,6 +44,7 @@ class BeatMotionExporter:
         self.motion_mean = motion_mean
         self.motion_std = motion_std
         self.template_bvh = template_bvh
+        self.player = player
         self._aa_to_euler = jax.jit(lambda x: axis_angle_to_euler(x, "XYZ"))
 
     def export(self, motion: np.ndarray, out_dir: str, name: str
@@ -75,8 +77,17 @@ class BeatMotionExporter:
             rewrite_template_file(self.template_bvh, eul_deg, bvh_path)
             written.append(bvh_path)
 
+        face_path = None
         if facial.shape[-1]:
             face_path = os.path.join(out_dir, f"{name}_face.json")
             write_face_json(facial, face_path, fps=self.fps)
             written.append(face_path)
+
+        # optional HTML player baked from the just-written BVH (+face) —
+        # the reference points users at its served pymo mocap player here
+        if self.player and len(written) > 1 and written[1].endswith(".bvh"):
+            from diffsheg_tpu.viz.player import export_bvh_player
+            html = os.path.join(out_dir, f"{name}_player.html")
+            written.append(export_bvh_player(written[1], html,
+                                             face_json=face_path))
         return written

@@ -71,3 +71,23 @@ def test_export_without_template_skips_bvh(tmp_path):
     exp = BeatMotionExporter(141, 15.0, np.zeros(192), np.ones(192))
     files = exp.export(motion, str(tmp_path), "c")
     assert [os.path.basename(f) for f in files] == ["c.npy", "c_face.json"]
+
+
+def test_export_with_player_writes_html(tmp_path):
+    rng = np.random.RandomState(1)
+    T = 10
+    motion = rng.randn(T, 192).astype(np.float32)
+    tmpl = str(tmp_path / "tmpl.bvh")
+    _template(tmpl)
+
+    exp = BeatMotionExporter(141, 15.0, np.zeros(192), np.ones(192),
+                             template_bvh=tmpl, player=True)
+    files = exp.export(motion, str(tmp_path / "out"), "clip")
+    assert os.path.basename(files[-1]) == "clip_player.html"
+    html = open(files[-1]).read()
+    assert html.startswith("<!DOCTYPE html>")
+    # embeds T frames of FK positions and the 51 face names
+    import re
+    d = json.loads(re.search(r"const D = (\{.*?\});\n", html, re.S).group(1))
+    assert len(d["positions"]) == T
+    assert len(d["face"]) == T and len(d["face_names"]) == 51
