@@ -123,6 +123,14 @@ class DiffusionConfig:
                                          # learned* require
                                          # model.learned_variance=True
     respacing: str = "ddim25"            # '' = no respacing; 'ddimN' or 'a,b,c'
+    sampler: str = "ddim"                # {'ddim','ancestral'}: the reverse-
+                                         # process family the serving windows
+                                         # run — DDIM (reference
+                                         # ddim_sample_loop, the shipped
+                                         # path) or ancestral p_sample with
+                                         # the full ModelVarType surface and
+                                         # before-model inpaint projection
+                                         # (gaussian_diffusion.py:684-920)
     clip_denoised: bool = False          # clamp x0 predictions to [-1,1]
                                          # (reference samples with False,
                                          # ddpm_beat_trainer.py:194)

@@ -26,7 +26,11 @@ from diffsheg_tpu.diffusion.jump import (
     plain_program,
 )
 from diffsheg_tpu.diffusion.respace import make_respaced_schedule, space_timesteps
-from diffsheg_tpu.diffusion.sampler import RepaintSpec, ddim_sample_program
+from diffsheg_tpu.diffusion.sampler import (
+    RepaintSpec,
+    ancestral_sample_program,
+    ddim_sample_program,
+)
 from diffsheg_tpu.diffusion.schedule import (
     get_named_beta_schedule,
     make_schedule,
@@ -90,6 +94,16 @@ class WindowGenerator:
             same_overlap_noisy=stream.same_overlap_noisy,
         )
         repaint_prog = self._plain if stream.no_repaint else self._harmonize
+
+        # reverse-process family: DDIM (shipped) or ancestral p_sample
+        # (reference p_sample_loop/_harmonize, gaussian_diffusion.py:684-920)
+        use_ancestral = getattr(diff, "sampler", "ddim") == "ancestral"
+        if use_ancestral and stream.same_overlap_noisy:
+            raise ValueError(
+                "diffusion.sampler='ancestral' does not support "
+                "stream.same_overlap_noisy — the reference's p_sample "
+                "inpaint (gaussian_diffusion.py:729-745) has no noisy-"
+                "overlap reuse; it is a ddim_sample feature (:1034-1060)")
 
         # Timestep-level cache (models/level_cache.py): precompute every
         # x-independent conditioning tensor for all respaced levels before
@@ -213,9 +227,15 @@ class WindowGenerator:
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
+            fn = make_denoise_fn(variables, mel, pid, hubert, cache, fast)
+            if use_ancestral:
+                return ancestral_sample_program(
+                    sched, fn, noise, rng,
+                    mean_type=diff.mean_type, var_type=diff.var_type,
+                    clip_denoised=diff.clip_denoised, program=self._plain,
+                )
             x, _ = ddim_sample_program(
-                sched, make_denoise_fn(variables, mel, pid, hubert, cache,
-                                       fast),
+                sched, fn,
                 self._plain, noise, rng,
                 mean_type=diff.mean_type, var_type=diff.var_type,
                 clip_denoised=diff.clip_denoised,
@@ -229,9 +249,22 @@ class WindowGenerator:
             B, T = mel.shape[0], mel.shape[1]
             rng, k = jax.random.split(rng)
             noise = jax.random.normal(k, (B, T, denoised_channels(mcfg)))
+            fn = make_denoise_fn(variables, mel, pid, hubert, cache, fast)
+            if use_ancestral:
+                x = ancestral_sample_program(
+                    sched, fn, noise, rng,
+                    mean_type=diff.mean_type, var_type=diff.var_type,
+                    clip_denoised=diff.clip_denoised, program=repaint_prog,
+                    repaint=spec, gt=gt,
+                )
+                # no noisy-overlap tails on this path (see the ctor check);
+                # keep the (levels, B, ov, C) carry shape for the streamer
+                tails = jnp.zeros(
+                    (sched.num_steps + 1, B, spec.overlap_len,
+                     noise.shape[-1]), noise.dtype)
+                return x, tails
             return ddim_sample_program(
-                sched, make_denoise_fn(variables, mel, pid, hubert, cache,
-                                       fast),
+                sched, fn,
                 repaint_prog, noise, rng,
                 mean_type=diff.mean_type, var_type=diff.var_type,
                 clip_denoised=diff.clip_denoised,
