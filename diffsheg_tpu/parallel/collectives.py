@@ -53,9 +53,28 @@ def all_reduce_mean_metrics(metrics: Dict[str, float],
 
 def gather_arrays(x: np.ndarray) -> np.ndarray:
     """Concatenate per-process arrays along axis 0 (the dist.all_gather
-    pattern in the loss-aware sampler and sharded result writing)."""
+    pattern in the loss-aware sampler and sharded result writing).
+    Requires the SAME shape on every process."""
     if jax.process_count() == 1:
         return np.asarray(x)
     from jax.experimental import multihost_utils
     stacked = multihost_utils.process_allgather(np.asarray(x))
     return np.concatenate(list(stacked), axis=0)
+
+
+def gather_arrays_ragged(x: np.ndarray) -> np.ndarray:
+    """Like :func:`gather_arrays` but per-process leading dims may differ
+    (e.g. eval latents when clips don't divide evenly): pad to the global
+    max, gather, trim per-process.  Trailing dims must still match."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    x = np.asarray(x)
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([x.shape[0]], dtype=np.int64))).reshape(-1)
+    m = int(counts.max())
+    padded = np.zeros((m,) + x.shape[1:], x.dtype)
+    padded[: x.shape[0]] = x
+    stacked = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [stacked[p, : counts[p]] for p in range(len(counts))], axis=0)

@@ -151,11 +151,18 @@ def check_collectives() -> Dict[str, float]:
     expect = sum((i + 1) ** 2 for i in range(n)) / sum(i + 1 for i in range(n))
     gathered = col.gather_arrays(np.asarray([p * 10.0, p * 10.0 + 1.0]))
     want = np.concatenate([[i * 10.0, i * 10.0 + 1.0] for i in range(n)])
+    # ragged gather: process p contributes p+1 rows (unequal leading dims,
+    # the eval-latents case in sampling/testset.py)
+    rag = col.gather_arrays_ragged(
+        np.full((p + 1, 2), float(p), dtype=np.float32))
+    rag_want = np.concatenate(
+        [np.full((i + 1, 2), float(i), dtype=np.float32) for i in range(n)])
     col.barrier("mp_lockstep_end")
     return {
         # f32 tolerance: process_allgather downcasts under JAX_ENABLE_X64=0
         "metric_ok": float(abs(reduced["m"] - expect) < 1e-5),
         "gather_ok": float(np.array_equal(gathered, want)),
+        "ragged_ok": float(np.array_equal(rag, rag_want)),
     }
 
 
@@ -294,6 +301,7 @@ def run_lockstep(num_processes: int = 2, local_devices: int = 4,
         assert w["global_devices"] == n_global, w
         assert w["metric_ok"] == 1.0, w
         assert w["gather_ok"] == 1.0, w
+        assert w["ragged_ok"] == 1.0, w
         assert w["loader_ok"] == 1.0, w
 
     reference = compute_lockstep()

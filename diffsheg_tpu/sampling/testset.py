@@ -72,7 +72,13 @@ def generate_testset(
     n = len(dataset)
     if max_clips:
         n = min(n, max_clips)
-    for i in range(n):
+    # multi-process: stride the clips across processes and tag each file
+    # with its writer, like the reference's per-rank result shards
+    # (ddpm_beat_trainer.py:825 ``*_rankN.npy``); metrics are reduced
+    # across processes below
+    pcount, pidx = jax.process_count(), jax.process_index()
+    rank_sfx = f"_rank{pidx}" if pcount > 1 else ""
+    for i in range(pidx, n, pcount):
         s = dataset[i]
         mel = jnp.asarray(s["mel"], dtype=jnp.float32)[None]
         gt = np.asarray(s["motion"], dtype=np.float32)
@@ -93,9 +99,10 @@ def generate_testset(
         else:
             out = np.asarray(gen.generate(mel, pid, k, hubert=hubert))[0]
         if exporter is not None:
-            exporter.export(out, out_dir, f"clip_{i:05d}")
+            exporter.export(out, out_dir, f"clip_{i:05d}{rank_sfx}")
         else:
-            np.save(os.path.join(out_dir, f"clip_{i:05d}.npy"), out)
+            np.save(os.path.join(out_dir, f"clip_{i:05d}{rank_sfx}.npy"),
+                    out)
         total_frames += T
 
         # windowed metrics over the common length
@@ -128,6 +135,23 @@ def generate_testset(
         "fps": total_frames / max(wall, 1e-9),
         "clips": float(len(mses)),
     }
+    if pcount > 1:
+        # clip-weighted metric reduction + cross-process activation gather
+        # (the reference's AverageMeter dist.all_reduce + per-rank shards,
+        # ddpm_beat_trainer.py:1504-1533)
+        from diffsheg_tpu.parallel import collectives as col
+        reduced = col.all_reduce_mean_metrics(
+            {k: metrics[k] for k in ("mse", "pck", "beat_align")},
+            weight=metrics["clips"])
+        metrics.update(reduced)
+        metrics["clips"] = float(col.all_reduce_mean_metrics(
+            {"c": metrics["clips"]}, weight=1.0)["c"] * pcount)
+        if fgd_embed is not None:
+            assert gen_lat, (
+                "FGD under multi-process needs >=1 full window per process "
+                f"(process {pidx} saw none — fewer clips than processes?)")
+            gen_lat = [col.gather_arrays_ragged(np.concatenate(gen_lat))]
+            real_lat = [col.gather_arrays_ragged(np.concatenate(real_lat))]
     if gen_lat:
         metrics["fgd"] = frechet_from_activations(
             np.concatenate(gen_lat), np.concatenate(real_lat))
