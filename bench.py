@@ -193,8 +193,11 @@ def main():
     out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(0))
     out.block_until_ready()
 
+    # best-of-12: each rep is one ~0.33 s device dispatch; a dozen reps
+    # costs ~4 s and de-noises the remote-tunnel timing jitter (observed
+    # +-2% run-to-run at best-of-6)
     totals = []
-    for i in range(6):
+    for i in range(12):
         t0 = time.perf_counter()
         out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(i + 1))
         out.block_until_ready()
@@ -203,8 +206,8 @@ def main():
     frames = int(out.shape[1])
     best = int(np.argmin(totals))
     fps = frames / totals[best]
-    print(f"fused pipeline (best of 6): total={totals[best]:.3f}s "
-          f"frames={frames}", file=sys.stderr)
+    print(f"fused pipeline (best of {len(totals)}): "
+          f"total={totals[best]:.3f}s frames={frames}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "beat_generation_fps",

@@ -301,3 +301,50 @@ def test_variance_coupling_validated_early():
         bad.diffusion, var_type="learned_range"))
     with pytest.raises(ValueError, match="learned_variance"):
         resolve(bad)
+
+def test_learned_variance_hybrid_overfits():
+    """The hybrid objective actually LEARNS: ~80 steps on a fixed batch
+    drive both the eps loss and the VLB term down (the variance head
+    converges toward the true posterior width), mirroring the reference's
+    RESCALED_MSE hybrid (gaussian_diffusion.py:1342-1374)."""
+    from diffsheg_tpu.diffusion.schedule import (
+        get_named_beta_schedule, make_schedule)
+    from diffsheg_tpu.models.factory import init_denoiser
+    from diffsheg_tpu.train.step import create_train_state, make_train_step
+
+    mcfg = _small_cfg(learned_variance=True)
+    cfg = Config(
+        model=mcfg,
+        diffusion=DiffusionConfig(num_steps=50, respacing="",
+                                  var_type="learned_range"),
+        train=TrainConfig(batch_size=8, use_sem_weighting=False,
+                          loss_type="rescaled_mse", lr=4e-4),
+    )
+    sched = make_schedule(get_named_beta_schedule("linear", 50))
+    _, variables = init_denoiser(cfg.model, n_poses=6,
+                                 rng=jax.random.PRNGKey(0), batch=8)
+    state = create_train_state(cfg, variables)
+    step = make_train_step(cfg, sched)
+
+    rng = np.random.RandomState(5)
+    t = np.arange(6)[None, :, None]
+    motion = np.sin(0.3 * (t + 1) + 0.2 * np.arange(mcfg.motion_dim))
+    batch = {
+        "motion": jnp.asarray(np.repeat(motion, 8, 0), jnp.float32),
+        "mel": jnp.asarray(rng.randn(8, 6, mcfg.audio_dim), jnp.float32),
+        "pid": jnp.asarray(np.eye(8, mcfg.style_dim)[:, :mcfg.style_dim],
+                           jnp.float32),
+    }
+    totals, vbs = [], []
+    key = jax.random.PRNGKey(2)
+    for k in range(80):
+        key, sub = jax.random.split(key)
+        state, terms = step(state, batch, sub)
+        totals.append(float(terms.total))
+        vbs.append(float(terms.vb))
+    assert np.isfinite(totals).all() and np.isfinite(vbs).all()
+    # strong decrease in the smoothed tail vs head (per-step noise is large)
+    assert np.mean(totals[-10:]) < 0.5 * np.mean(totals[:10]), (
+        np.mean(totals[:10]), np.mean(totals[-10:]))
+    assert np.mean(vbs[-10:]) < np.mean(vbs[:10]), (
+        np.mean(vbs[:10]), np.mean(vbs[-10:]))
