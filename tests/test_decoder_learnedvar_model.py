@@ -348,3 +348,23 @@ def test_learned_variance_hybrid_overfits():
         np.mean(totals[:10]), np.mean(totals[-10:]))
     assert np.mean(vbs[-10:]) < np.mean(vbs[:10]), (
         np.mean(vbs[:10]), np.mean(vbs[-10:]))
+
+def test_learned_variance_full_stream():
+    """A learned-variance model through StreamingGenerator (plain window +
+    RePaint continuation): the 2C output must be split at every step of
+    both compiled programs."""
+    from diffsheg_tpu.sampling.generator import WindowGenerator
+    from diffsheg_tpu.sampling.streamer import StreamingGenerator
+
+    cfg = _tiny_serving_cfg({"learned_variance": True},
+                            {"var_type": "learned_range"})
+    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                    jax.random.PRNGKey(1))
+    sg = StreamingGenerator(WindowGenerator(cfg, variables))
+    T = cfg.data.n_poses * 2
+    rs = np.random.RandomState(8)
+    mel = jnp.asarray(rs.randn(1, T, cfg.model.audio_dim), jnp.float32)
+    pid = jax.nn.one_hot(jnp.array([0]), cfg.model.style_dim)
+    out = sg.generate(mel, pid, jax.random.PRNGKey(5))
+    assert out.shape == (1, T, cfg.model.motion_dim)
+    assert np.isfinite(np.asarray(out)).all()
