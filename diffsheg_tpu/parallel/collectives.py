@@ -51,6 +51,30 @@ def all_reduce_mean_metrics(metrics: Dict[str, float],
     return {k: float(summed[i + 1] / total_w) for i, k in enumerate(keys)}
 
 
+def all_reduce_nanmean_metrics(metrics: Dict[str, float],
+                               weight: float = 1.0) -> Dict[str, float]:
+    """Weighted mean across processes that ignores non-finite entries
+    per metric.  A process that saw no clips (weight 0) or computed no
+    value for one metric (e.g. ``beat_align`` when its samples carry no
+    audio) contributes nothing to that metric instead of poisoning the
+    global mean with ``NaN * weight``; a metric nobody measured stays
+    NaN everywhere."""
+    if jax.process_count() == 1:
+        return dict(metrics)
+    from jax.experimental import multihost_utils
+    keys = sorted(metrics)
+    vals = np.asarray([metrics[k] for k in keys], dtype=np.float64)
+    ok = np.isfinite(vals)
+    local = np.concatenate([np.where(ok, vals * weight, 0.0),
+                            np.where(ok, float(weight), 0.0)])
+    summed = np.asarray(
+        multihost_utils.process_allgather(local)).sum(axis=0)
+    n = len(keys)
+    return {k: float(summed[i] / summed[n + i]) if summed[n + i] > 0
+            else float("nan")
+            for i, k in enumerate(keys)}
+
+
 def gather_arrays(x: np.ndarray) -> np.ndarray:
     """Concatenate per-process arrays along axis 0 (the dist.all_gather
     pattern in the loss-aware sampler and sharded result writing).

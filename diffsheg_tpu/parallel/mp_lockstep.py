@@ -157,13 +157,112 @@ def check_collectives() -> Dict[str, float]:
         np.full((p + 1, 2), float(p), dtype=np.float32))
     rag_want = np.concatenate(
         [np.full((i + 1, 2), float(i), dtype=np.float32) for i in range(n)])
+    # NaN-safe mean: only rank 0 measured "nm"; everyone measured nothing
+    # for "none" (stays NaN instead of raising / poisoning)
+    nm = col.all_reduce_nanmean_metrics(
+        {"nm": 7.5 if p == 0 else float("nan"), "none": float("nan")},
+        weight=float(p + 1))
     col.barrier("mp_lockstep_end")
     return {
         # f32 tolerance: process_allgather downcasts under JAX_ENABLE_X64=0
         "metric_ok": float(abs(reduced["m"] - expect) < 1e-5),
         "gather_ok": float(np.array_equal(gathered, want)),
         "ragged_ok": float(np.array_equal(rag, rag_want)),
+        "nanmean_ok": float(abs(nm["nm"] - 7.5) < 1e-9
+                            and np.isnan(nm["none"])),
     }
+
+
+class TestsetSynthClips:
+    """Three deterministic whole-clip samples for the testset-shard check.
+
+    Every clip is two windows long (same length -> one window-plan compile);
+    odd clips carry no raw audio, so beat-align is NaN on the rank that
+    draws only them — exercising the NaN-safe metric reduction for real.
+    """
+
+    N_CLIPS = 3
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def __len__(self):
+        return self.N_CLIPS
+
+    def __getitem__(self, i):
+        rs = np.random.RandomState(100 + i)
+        c = self.cfg
+        T = 2 * c.data.n_poses
+        s = {
+            "motion": rs.randn(T, c.model.motion_dim).astype(np.float32),
+            "mel": (rs.randn(T, c.model.audio_dim) * 0.1).astype(np.float32),
+            "id": np.asarray([i % c.model.style_dim]),
+        }
+        if i % 2 == 0:
+            sr = c.data.audio_sr
+            t = np.arange(int(T / c.data.fps * sr)) / sr
+            s["audio"] = (0.1 * np.sin(2 * np.pi * 220 * t)
+                          * (np.sin(2 * np.pi * 2.0 * t) > 0)
+                          ).astype(np.float32)
+        return s
+
+
+def testset_payload():
+    """Tiny-but-real streaming config + converted-size FGD net, identical
+    on every process (seeded init)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffsheg_tpu.config import beat_config
+    from diffsheg_tpu.eval.fgd_net import FgdFeatureNet, FgdNetConfig
+    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+
+    cfg = beat_config()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, latent_dim=16, num_layers=1, num_heads=2, ff_size=32,
+        add_hubert=False))
+    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                    jax.random.PRNGKey(11))
+    net = FgdFeatureNet(FgdNetConfig(n_frames=cfg.data.n_poses,
+                                     pose_dim=cfg.model.motion_dim))
+    fgd_vars = net.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, cfg.data.n_poses, cfg.model.motion_dim)))
+    return cfg, variables, fgd_vars, TestsetSynthClips(cfg)
+
+
+def check_testset_shard(out_dir: str) -> Dict:
+    """REAL multi-process ``generate_testset``: strided clips, per-rank
+    result files, NaN-safe clip-weighted metric reduction, ragged FGD
+    latent gather (sampling/testset.py).  With 3 clips over 2 processes the
+    split is uneven (rank0: clips 0,2; rank1: clip 1), rank1's shard has no
+    audio (beat-align NaN locally), and the FGD latent counts differ per
+    rank — the exact hazards the reduction must survive."""
+    import glob
+
+    import jax
+
+    from diffsheg_tpu.sampling.testset import generate_testset
+
+    cfg, variables, fgd_vars, ds = testset_payload()
+    metrics = generate_testset(cfg, variables, ds, out_dir,
+                               jax.random.PRNGKey(123),
+                               fgd_variables=fgd_vars, log=lambda *a: None)
+    sfx = (f"_rank{jax.process_index()}.npy"
+           if jax.process_count() > 1 else ".npy")
+    files = sorted(os.path.basename(f)
+                   for f in glob.glob(os.path.join(out_dir, "*.npy"))
+                   if f.endswith(sfx))
+    sums = {}
+    for f in files:
+        arr = np.load(os.path.join(out_dir, f)).astype(np.float64)
+        sums[f.split("_rank")[0].replace(".npy", "")] = float(arr.sum())
+    return {"testset_metrics": {k: metrics[k] for k in
+                                ("mse", "pck", "beat_align", "fgd", "clips")},
+            "testset_files": files,
+            "testset_sums": sums}
 
 
 def check_loader_partition() -> Dict[str, float]:
@@ -203,6 +302,9 @@ def worker_main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--local-devices", type=int, required=True)
+    ap.add_argument("--testset-dir", default="",
+                    help="if set, also run the multi-process "
+                         "generate_testset check writing here")
     args = ap.parse_args(argv)
 
     # must run before any jax computation; the axon TPU plugin ignores the
@@ -225,6 +327,8 @@ def worker_main(argv: Optional[List[str]] = None) -> int:
     result.update(check_collectives())
     result.update(check_loader_partition())
     result.update(compute_lockstep())
+    if args.testset_dir:
+        result.update(check_testset_shard(args.testset_dir))
     print("MP_RESULT " + json.dumps(result), flush=True)
     return 0
 
@@ -240,7 +344,8 @@ def _free_port() -> int:
 
 
 def spawn_workers(num_processes: int, local_devices: int,
-                  timeout: float = 600.0) -> List[Dict]:
+                  timeout: float = 600.0,
+                  testset_dir: str = "") -> List[Dict]:
     """Spawn the distributed workers and collect their result dicts."""
     port = _free_port()
     env = dict(os.environ)
@@ -254,7 +359,8 @@ def spawn_workers(num_processes: int, local_devices: int,
              "--coordinator", f"localhost:{port}",
              "--num-processes", str(num_processes),
              "--process-id", str(pid),
-             "--local-devices", str(local_devices)],
+             "--local-devices", str(local_devices),
+             "--testset-dir", testset_dir],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             env=env, cwd=REPO_ROOT, text=True))
     results = []
@@ -279,7 +385,7 @@ def spawn_workers(num_processes: int, local_devices: int,
 
 
 def run_lockstep(num_processes: int = 2, local_devices: int = 4,
-                 timeout: float = 600.0) -> Dict:
+                 timeout: float = 600.0, testset: bool = False) -> Dict:
     """Spawn workers, compute the single-process reference in-process, and
     verify agreement.  The calling process must already have
     ``num_processes * local_devices`` devices (virtual CPU mesh).
@@ -295,13 +401,19 @@ def run_lockstep(num_processes: int = 2, local_devices: int = 4,
         f"parent needs {n_global} devices for the reference run, "
         f"has {jax.device_count()}")
 
-    workers = spawn_workers(num_processes, local_devices, timeout)
+    testset_dir = ""
+    if testset:
+        import tempfile
+        testset_dir = tempfile.mkdtemp(prefix="mp_testset_")
+    workers = spawn_workers(num_processes, local_devices, timeout,
+                            testset_dir=testset_dir)
     assert len(workers) == num_processes
     for w in workers:
         assert w["global_devices"] == n_global, w
         assert w["metric_ok"] == 1.0, w
         assert w["gather_ok"] == 1.0, w
         assert w["ragged_ok"] == 1.0, w
+        assert w["nanmean_ok"] == 1.0, w
         assert w["loader_ok"] == 1.0, w
 
     reference = compute_lockstep()
@@ -313,7 +425,50 @@ def run_lockstep(num_processes: int = 2, local_devices: int = 4,
         np.testing.assert_allclose(
             got[0], want, rtol=2e-5, atol=1e-6,
             err_msg=f"{key}: multi-process != single-process")
+
+    if testset:
+        _verify_testset(workers, num_processes)
     return {"workers": workers, "reference": reference}
+
+
+def _verify_testset(workers: List[Dict], num_processes: int) -> None:
+    """Assert the multi-process generate_testset run against the parent's
+    single-process run: file-shard coverage, replicated reduced metrics,
+    per-clip bitwise-keyed outputs, NaN-safe reduction semantics."""
+    import tempfile
+
+    # every clip written exactly once, tagged by its striding rank
+    n_clips = TestsetSynthClips.N_CLIPS
+    all_files = sorted(f for w in workers for f in w["testset_files"])
+    want = sorted(f"clip_{i:05d}_rank{i % num_processes}.npy"
+                  for i in range(n_clips))
+    assert all_files == want, (all_files, want)
+
+    # reduced metrics are replicated across processes
+    for key in ("mse", "pck", "beat_align", "fgd", "clips"):
+        got = [w["testset_metrics"][key] for w in workers]
+        assert max(got) == min(got), (key, got)
+
+    # single-process reference in THIS process (process_count()==1 here)
+    single_dir = tempfile.mkdtemp(prefix="mp_testset_single_")
+    single = check_testset_shard(single_dir)
+    sm, wm = single["testset_metrics"], workers[0]["testset_metrics"]
+    assert wm["clips"] == sm["clips"] == float(n_clips), (wm, sm)
+    for key in ("mse", "pck", "fgd"):
+        np.testing.assert_allclose(
+            wm[key], sm[key], rtol=1e-4,
+            err_msg=f"testset {key}: multi-process != single-process")
+    # beat-align: only even clips carry audio; the single run means over
+    # those, the multi run must nanmean to the same value (rank1 saw none)
+    np.testing.assert_allclose(wm["beat_align"], sm["beat_align"],
+                               rtol=1e-4, err_msg="testset beat_align")
+    # per-clip outputs are keyed by clip index -> identical in both layouts
+    for base, s in single["testset_sums"].items():
+        ws = [w["testset_sums"][base] for w in workers
+              if base in w["testset_sums"]]
+        assert len(ws) == 1, (base, ws)
+        np.testing.assert_allclose(ws[0], s, rtol=1e-5,
+                                   err_msg=f"testset clip {base}")
 
 
 if __name__ == "__main__":

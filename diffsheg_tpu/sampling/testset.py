@@ -79,6 +79,9 @@ def generate_testset(
     pcount, pidx = jax.process_count(), jax.process_index()
     rank_sfx = f"_rank{pidx}" if pcount > 1 else ""
     for i in range(pidx, n, pcount):
+        # key by clip index, not by draw order, so clip i's output is
+        # identical no matter how many processes share the split
+        k = jax.random.fold_in(rng, i)
         s = dataset[i]
         mel = jnp.asarray(s["mel"], dtype=jnp.float32)[None]
         gt = np.asarray(s["motion"], dtype=np.float32)
@@ -93,7 +96,6 @@ def generate_testset(
         sid = int(np.asarray(s.get("id", [0])).reshape(-1)[0])
         pid = jax.nn.one_hot(jnp.asarray([sid]), cfg.model.style_dim)
 
-        rng, k = jax.random.split(rng)
         if output_gt:
             out = gt[:T]
         else:
@@ -138,21 +140,31 @@ def generate_testset(
     if pcount > 1:
         # clip-weighted metric reduction + cross-process activation gather
         # (the reference's AverageMeter dist.all_reduce + per-rank shards,
-        # ddpm_beat_trainer.py:1504-1533)
+        # ddpm_beat_trainer.py:1504-1533).  The nanmean form keeps a rank
+        # with no clips (n < pcount) or no audio from poisoning the mean.
         from diffsheg_tpu.parallel import collectives as col
-        reduced = col.all_reduce_mean_metrics(
-            {k: metrics[k] for k in ("mse", "pck", "beat_align")},
+        reduced = col.all_reduce_nanmean_metrics(
+            {m: metrics[m] for m in ("mse", "pck", "beat_align")},
             weight=metrics["clips"])
         metrics.update(reduced)
-        metrics["clips"] = float(col.all_reduce_mean_metrics(
-            {"c": metrics["clips"]}, weight=1.0)["c"] * pcount)
+        metrics["clips"] = float(np.sum(col.gather_arrays(
+            np.asarray([metrics["clips"]], dtype=np.float64))))
         if fgd_embed is not None:
-            assert gen_lat, (
-                "FGD under multi-process needs >=1 full window per process "
-                f"(process {pidx} saw none — fewer clips than processes?)")
-            gen_lat = [col.gather_arrays_ragged(np.concatenate(gen_lat))]
-            real_lat = [col.gather_arrays_ragged(np.concatenate(real_lat))]
-    if gen_lat:
+            # a rank whose shard had no full window contributes 0 rows
+            lat = (np.concatenate(gen_lat) if gen_lat
+                   else np.zeros((0, _fgd_dim(fgd_embed, cfg)), np.float32))
+            rlat = (np.concatenate(real_lat) if real_lat
+                    else np.zeros_like(lat))
+            gen_lat = [col.gather_arrays_ragged(lat)]
+            real_lat = [col.gather_arrays_ragged(rlat)]
+    if gen_lat and sum(a.shape[0] for a in gen_lat) >= 2:
         metrics["fgd"] = frechet_from_activations(
             np.concatenate(gen_lat), np.concatenate(real_lat))
     return metrics
+
+
+def _fgd_dim(fgd_embed, cfg: Config) -> int:
+    """Latent width of the FGD feature net (for an empty shard's
+    zero-row placeholder — every rank must gather the same trailing dim)."""
+    probe = jnp.zeros((1, cfg.data.n_poses, cfg.model.motion_dim))
+    return int(np.asarray(fgd_embed(probe)).shape[-1])

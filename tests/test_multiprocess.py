@@ -22,7 +22,12 @@ from diffsheg_tpu.parallel.mp_lockstep import run_lockstep
 @pytest.mark.skipif(jax.device_count() != 8,
                     reason="needs the 8-device virtual CPU mesh")
 def test_two_process_lockstep_matches_single_process():
-    out = run_lockstep(num_processes=2, local_devices=4, timeout=900.0)
+    # testset=True additionally runs generate_testset across the two real
+    # processes — strided clip shards, per-rank result files, NaN-safe
+    # metric reduction, ragged FGD gather — and verifies it against this
+    # process's single-process run (see mp_lockstep._verify_testset)
+    out = run_lockstep(num_processes=2, local_devices=4, timeout=900.0,
+                       testset=True)
     assert len(out["workers"]) == 2
     # sanity on the payload itself: losses decreased over the 3 steps
     ref = out["reference"]
