@@ -331,6 +331,8 @@ def cmd_view(args) -> int:
     (datasets/pymo/mocapplayer/), redesigned as one dependency-free file."""
     from diffsheg_tpu.viz.player import export_bvh_player
 
+    if args.stride < 1:
+        raise SystemExit(f"--stride must be >= 1, got {args.stride}")
     out = args.out or (os.path.splitext(args.bvh)[0] + "_player.html")
     path = export_bvh_player(args.bvh, out, face_json=args.face,
                              stride=args.stride)

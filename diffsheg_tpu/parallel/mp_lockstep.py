@@ -174,14 +174,16 @@ def check_collectives() -> Dict[str, float]:
 
 
 class TestsetSynthClips:
-    """Three deterministic whole-clip samples for the testset-shard check.
+    """Four deterministic whole-clip samples for the testset-shard check.
 
-    Every clip is two windows long (same length -> one window-plan compile);
-    odd clips carry no raw audio, so beat-align is NaN on the rank that
-    draws only them — exercising the NaN-safe metric reduction for real.
+    Every clip is two windows long (same length -> one window-plan compile).
+    Only clips 0-2 carry raw audio: under a 2-process stride rank0 (clips
+    0,2) is all-audio while rank1 (clips 1,3) holds a MIX — its local
+    beat-align mean covers 1 of its 2 clips, so the reduction must weight
+    by audio-clip count, not total clips, to match the single-process mean.
     """
 
-    N_CLIPS = 3
+    N_CLIPS = 4
 
     def __init__(self, cfg):
         self.cfg = cfg
@@ -198,7 +200,7 @@ class TestsetSynthClips:
             "mel": (rs.randn(T, c.model.audio_dim) * 0.1).astype(np.float32),
             "id": np.asarray([i % c.model.style_dim]),
         }
-        if i % 2 == 0:
+        if i < 3:
             sr = c.data.audio_sr
             t = np.arange(int(T / c.data.fps * sr)) / sr
             s["audio"] = (0.1 * np.sin(2 * np.pi * 220 * t)
@@ -235,11 +237,11 @@ def testset_payload():
 
 def check_testset_shard(out_dir: str) -> Dict:
     """REAL multi-process ``generate_testset``: strided clips, per-rank
-    result files, NaN-safe clip-weighted metric reduction, ragged FGD
-    latent gather (sampling/testset.py).  With 3 clips over 2 processes the
-    split is uneven (rank0: clips 0,2; rank1: clip 1), rank1's shard has no
-    audio (beat-align NaN locally), and the FGD latent counts differ per
-    rank — the exact hazards the reduction must survive."""
+    result files, per-metric-weighted NaN-safe reduction, ragged FGD
+    latent gather (sampling/testset.py).  With 4 clips over 2 processes
+    rank1's shard mixes one audio and one audio-less clip — its local
+    beat-align covers half its clips, so only audio-count weighting
+    reproduces the single-process mean."""
     import glob
 
     import jax
@@ -395,16 +397,24 @@ def run_lockstep(num_processes: int = 2, local_devices: int = 4,
       - worker losses and updated-parameter norms agree across processes,
       - they match the single-process result to float tolerance.
     """
+    import shutil
+    import tempfile
+    testset_dir = tempfile.mkdtemp(prefix="mp_testset_") if testset else ""
+    try:
+        return _run_lockstep_inner(num_processes, local_devices, timeout,
+                                   testset_dir)
+    finally:
+        if testset_dir:
+            shutil.rmtree(testset_dir, ignore_errors=True)
+
+
+def _run_lockstep_inner(num_processes: int, local_devices: int,
+                        timeout: float, testset_dir: str) -> Dict:
     import jax
     n_global = num_processes * local_devices
     assert jax.device_count() == n_global, (
         f"parent needs {n_global} devices for the reference run, "
         f"has {jax.device_count()}")
-
-    testset_dir = ""
-    if testset:
-        import tempfile
-        testset_dir = tempfile.mkdtemp(prefix="mp_testset_")
     workers = spawn_workers(num_processes, local_devices, timeout,
                             testset_dir=testset_dir)
     assert len(workers) == num_processes
@@ -426,7 +436,7 @@ def run_lockstep(num_processes: int = 2, local_devices: int = 4,
             got[0], want, rtol=2e-5, atol=1e-6,
             err_msg=f"{key}: multi-process != single-process")
 
-    if testset:
+    if testset_dir:
         _verify_testset(workers, num_processes)
     return {"workers": workers, "reference": reference}
 
@@ -434,7 +444,8 @@ def run_lockstep(num_processes: int = 2, local_devices: int = 4,
 def _verify_testset(workers: List[Dict], num_processes: int) -> None:
     """Assert the multi-process generate_testset run against the parent's
     single-process run: file-shard coverage, replicated reduced metrics,
-    per-clip bitwise-keyed outputs, NaN-safe reduction semantics."""
+    per-clip bitwise-keyed outputs, per-metric weighting semantics."""
+    import shutil
     import tempfile
 
     # every clip written exactly once, tagged by its striding rank
@@ -451,15 +462,18 @@ def _verify_testset(workers: List[Dict], num_processes: int) -> None:
 
     # single-process reference in THIS process (process_count()==1 here)
     single_dir = tempfile.mkdtemp(prefix="mp_testset_single_")
-    single = check_testset_shard(single_dir)
+    try:
+        single = check_testset_shard(single_dir)
+    finally:
+        shutil.rmtree(single_dir, ignore_errors=True)
     sm, wm = single["testset_metrics"], workers[0]["testset_metrics"]
     assert wm["clips"] == sm["clips"] == float(n_clips), (wm, sm)
     for key in ("mse", "pck", "fgd"):
         np.testing.assert_allclose(
             wm[key], sm[key], rtol=1e-4,
             err_msg=f"testset {key}: multi-process != single-process")
-    # beat-align: only even clips carry audio; the single run means over
-    # those, the multi run must nanmean to the same value (rank1 saw none)
+    # beat-align: only clips 0-2 carry audio (rank1's shard is a mix), so
+    # agreement here proves the reduction weights by audio-clip count
     np.testing.assert_allclose(wm["beat_align"], sm["beat_align"],
                                rtol=1e-4, err_msg="testset beat_align")
     # per-clip outputs are keyed by clip index -> identical in both layouts

@@ -65,6 +65,7 @@ class BeatMotionExporter:
 
         # BVH rewrite assumes the full SPINE_NECK 141-channel layout
         # (data_tools.py:548-607); subset models export npy + face only
+        bvh_path = None
         if self.template_bvh and os.path.exists(self.template_bvh) \
                 and pose_dim == 141:
             from diffsheg_tpu.geometry.bvh import rewrite_template_file
@@ -85,9 +86,16 @@ class BeatMotionExporter:
 
         # optional HTML player baked from the just-written BVH (+face) —
         # the reference points users at its served pymo mocap player here
-        if self.player and len(written) > 1 and written[1].endswith(".bvh"):
-            from diffsheg_tpu.viz.player import export_bvh_player
-            html = os.path.join(out_dir, f"{name}_player.html")
-            written.append(export_bvh_player(written[1], html,
-                                             face_json=face_path))
+        if self.player:
+            if bvh_path is None:
+                import warnings
+                warnings.warn(
+                    "player requested but no BVH was written (needs an "
+                    "existing template_bvh and the full 141-channel pose); "
+                    "skipping the HTML player")
+            else:
+                from diffsheg_tpu.viz.player import export_bvh_player
+                html = os.path.join(out_dir, f"{name}_player.html")
+                written.append(export_bvh_player(bvh_path, html,
+                                                 face_json=face_path))
         return written

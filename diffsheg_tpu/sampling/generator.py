@@ -97,7 +97,12 @@ class WindowGenerator:
 
         # reverse-process family: DDIM (shipped) or ancestral p_sample
         # (reference p_sample_loop/_harmonize, gaussian_diffusion.py:684-920)
-        use_ancestral = getattr(diff, "sampler", "ddim") == "ancestral"
+        sampler = getattr(diff, "sampler", "ddim")
+        if sampler not in ("ddim", "ancestral"):
+            raise ValueError(
+                f"diffusion.sampler={sampler!r}: valid samplers are "
+                "'ddim', 'ancestral'")
+        use_ancestral = sampler == "ancestral"
         if use_ancestral and stream.same_overlap_noisy:
             raise ValueError(
                 "diffusion.sampler='ancestral' does not support "

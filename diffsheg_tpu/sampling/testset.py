@@ -143,12 +143,19 @@ def generate_testset(
         # ddpm_beat_trainer.py:1504-1533).  The nanmean form keeps a rank
         # with no clips (n < pcount) or no audio from poisoning the mean.
         from diffsheg_tpu.parallel import collectives as col
-        reduced = col.all_reduce_nanmean_metrics(
-            {m: metrics[m] for m in ("mse", "pck", "beat_align")},
-            weight=metrics["clips"])
-        metrics.update(reduced)
-        metrics["clips"] = float(np.sum(col.gather_arrays(
-            np.asarray([metrics["clips"]], dtype=np.float64))))
+        metrics.update(col.all_reduce_nanmean_metrics(
+            {m: metrics[m] for m in ("mse", "pck")},
+            weight=metrics["clips"]))
+        # beat-align is measured only on clips that carry raw audio, so its
+        # weight is the rank's AUDIO-clip count — weighting by total clips
+        # would skew the mean whenever a rank holds a mix
+        metrics.update(col.all_reduce_nanmean_metrics(
+            {"beat_align": metrics["beat_align"]}, weight=float(len(aligns))))
+        # clips becomes the global count; fps the aggregate throughput
+        # (ranks generate concurrently, so global rate = sum of local rates)
+        sums = col.gather_arrays(np.asarray(
+            [[metrics["clips"], metrics["fps"]]], dtype=np.float64)).sum(0)
+        metrics["clips"], metrics["fps"] = float(sums[0]), float(sums[1])
         if fgd_embed is not None:
             # a rank whose shard had no full window contributes 0 rows
             lat = (np.concatenate(gen_lat) if gen_lat

@@ -169,6 +169,9 @@ def export_player_html(
     """Write a dependency-free single-file HTML player; returns the path."""
     positions = np.asarray(positions, np.float64)
     T, J, _ = positions.shape
+    # fail fast host-side: an empty clip would only surface as a TypeError
+    # inside the embedded JS (a blank page with no diagnostic)
+    assert T > 0, "cannot build a player for a zero-frame clip"
     assert len(parents) == J, (len(parents), J)
     data = {
         "positions": np.round(positions, 3).tolist(),
@@ -205,15 +208,16 @@ def export_bvh_player(
     """
     from diffsheg_tpu.geometry.bvh import forward_kinematics, parse_bvh_file
 
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     data = parse_bvh_file(bvh_path)
     pos = forward_kinematics(data)[::stride]
     # BVH Y-up: keep as-is (the player treats axis 1 as up)
     parents = [j.parent for j in data.joints]
     face = names = None
     if face_json:
-        import json as _json
         with open(face_json) as f:
-            raw = _json.load(f)
+            raw = json.load(f)
         names = raw["names"]
         frames = raw["frames"]
         face = np.asarray([fr["weights"] for fr in frames])[::stride]

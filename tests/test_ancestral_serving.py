@@ -75,6 +75,17 @@ def test_ancestral_full_stream():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_unknown_sampler_rejected():
+    cfg = _cfg("ddpm")  # plausible typo for 'ancestral'
+    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+    from diffsheg_tpu.sampling.generator import WindowGenerator
+
+    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                    jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="valid samplers"):
+        WindowGenerator(cfg, variables)
+
+
 def test_ancestral_rejects_same_overlap_noisy():
     cfg = _cfg("ancestral", same_overlap_noisy=True)
     from diffsheg_tpu.models.unidiffuser import init_unidiffuser
