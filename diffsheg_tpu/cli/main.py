@@ -325,6 +325,38 @@ def cmd_test_stream(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Streaming serving daemon: one TCP connection = one live session
+    (push audio chunks, pull motion as windows complete).  The deployment
+    surface the reference lacks — its inference is batch scripts
+    (trainers/ddpm_beat_trainer.py:1123-1346)."""
+    cfg = _base_config(args)
+    variables = _load_variables(cfg, args.checkpoint)
+
+    hubert_fe = None
+    if cfg.model.add_hubert:
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        hubert_variables = None
+        if args.hubert_checkpoint:
+            from diffsheg_tpu.compat.hubert_ckpt import load_hf_hubert
+            hubert_variables = load_hf_hubert(args.hubert_checkpoint)
+        else:
+            print("WARNING: model.add_hubert is on but no "
+                  "--hubert-checkpoint was given — speech features come "
+                  "from a RANDOM-INIT encoder.", file=sys.stderr)
+        hubert_fe = HubertFeatureExtractor(variables=hubert_variables)
+
+    from diffsheg_tpu.serving.server import MotionServer
+    server = MotionServer(cfg, variables, hubert_extractor=hubert_fe,
+                          host=args.host, port=args.port,
+                          max_sessions=args.max_sessions)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 def cmd_view(args) -> int:
     """Write the self-contained HTML player for an exported BVH (+ face
     JSON) — the reference's vendored pymo mocap web player
@@ -428,6 +460,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write a self-contained HTML player per clip "
                          "(needs --template-bvh)")
     sp.set_defaults(fn=cmd_test_stream)
+
+    sp = sub.add_parser(
+        "serve", help="streaming speech-to-motion serving daemon (TCP; one "
+                      "connection = one live session)")
+    common(sp)
+    sp.add_argument("--checkpoint")
+    sp.add_argument("--hubert-checkpoint",
+                    help="HF HuBERT weights (torch .bin/.safetensors dir)")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=7431)
+    sp.add_argument("--max-sessions", type=int, default=8,
+                    help="bound on concurrent live sessions")
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser(
         "view", help="self-contained HTML motion player for an exported BVH")

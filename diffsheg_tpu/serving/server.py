@@ -1,0 +1,209 @@
+"""Streaming speech-to-motion serving daemon.
+
+The reference has no serving story — its inference surface is batch CLI
+scripts (trainers/ddpm_beat_trainer.py:1123-1346).  This daemon wraps
+:class:`diffsheg_tpu.sampling.live.LiveSession` in a threaded TCP server:
+one connection = one live session; the client pushes captured audio
+chunks and receives motion frames as each window becomes stable, with the
+same numerics as the in-process session (and therefore, at full window
+size, as the offline sampler — tests/test_live.py).
+
+Protocol (framing in :mod:`diffsheg_tpu.serving.protocol`):
+
+  client -> {"type": "start", "speakers": [1,3], "seed": 0,
+             "window_frames": 0, "overlap": 0}
+  server -> {"type": "ready", "batch": B, "channels": C,
+             "window": n_poses, "fps": fps, "sr": mel_sr,
+             "hubert": bool}
+  client -> {"type": "audio", "n": .., "n16": ..} + f32 payload   (repeat)
+  server -> {"type": "motion", ...} + f32 (B,T,C) payload  (T may be 0)
+  client -> {"type": "finish"}
+  server -> {"type": "done", ...} + f32 full-session motion payload
+
+Any server-side failure answers {"type": "error", "message": ...} and
+closes the connection; other sessions are unaffected.
+
+Concurrency: sessions are independent (per-connection LiveSession state;
+XLA serializes device dispatches).  ``max_sessions`` bounds concurrent
+connections so a misbehaving client pool cannot pile unbounded compile
+work onto the chip.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Optional
+
+import numpy as np
+
+from diffsheg_tpu.serving import protocol as proto
+
+
+class MotionServer:
+    """Own the model/config and serve live sessions over TCP."""
+
+    def __init__(self, cfg, variables, hubert_extractor=None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_sessions: int = 8, log=print):
+        self.cfg = cfg
+        self.variables = variables
+        self.hubert_fe = hubert_extractor
+        self.log = log
+        self._slots = threading.BoundedSemaphore(max_sessions)
+        outer = self
+
+        class _Handler(socketserver.BaseRequestHandler):
+            def handle(self):                  # pragma: no cover - thin shim
+                outer._handle(self.request)
+
+        class _Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = _Server((host, port), _Handler)
+
+    # -- lifecycle -----------------------------------------------------------
+    @property
+    def address(self):
+        """(host, port) actually bound (port=0 picks a free one)."""
+        return self._server.server_address
+
+    def serve_forever(self):
+        self.log(f"[serve] listening on {self.address[0]}:{self.address[1]}")
+        self._server.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+    # -- one connection = one session -----------------------------------------
+    def _handle(self, sock: socket.socket) -> None:
+        if not self._slots.acquire(blocking=False):
+            proto.send_frame(sock, {"type": "error",
+                                    "message": "server at max_sessions"})
+            return
+        try:
+            self._session_loop(sock)
+        except proto.ProtocolError as e:
+            self.log(f"[serve] protocol error: {e}")
+        except Exception as e:  # noqa: BLE001 — report, don't kill the server
+            try:
+                proto.send_frame(sock, {"type": "error", "message": str(e)})
+            except OSError:
+                pass
+            self.log(f"[serve] session failed: {type(e).__name__}: {e}")
+        finally:
+            self._slots.release()
+
+    def _session_loop(self, sock: socket.socket) -> None:
+        import jax
+
+        from diffsheg_tpu.sampling.live import LiveSession
+
+        header, _ = proto.recv_frame(sock)
+        if header.get("type") != "start":
+            proto.send_frame(sock, {
+                "type": "error",
+                "message": f"expected start, got {header.get('type')!r}"})
+            return
+        cfg = self.cfg
+        speakers = header.get("speakers", [0])
+        if not isinstance(speakers, list) or not speakers or any(
+                not isinstance(s, int) or not 0 <= s < cfg.model.style_dim
+                for s in speakers):
+            proto.send_frame(sock, {
+                "type": "error",
+                "message": f"speakers must be ints in [0, "
+                           f"{cfg.model.style_dim}), got {speakers!r}"})
+            return
+        pid = jax.nn.one_hot(np.asarray(speakers), cfg.model.style_dim)
+        session = LiveSession.create(
+            cfg, self.variables, pid,
+            jax.random.PRNGKey(int(header.get("seed", 0))),
+            window_frames=int(header.get("window_frames", 0)),
+            overlap=int(header.get("overlap", 0)),
+            hubert_extractor=self.hubert_fe,
+        )
+        proto.send_frame(sock, {
+            "type": "ready", "batch": len(speakers),
+            "channels": int(_channels(cfg)),
+            "window": session.size, "fps": cfg.data.fps,
+            "sr": cfg.data.mel_sr,
+            "hubert": self.hubert_fe is not None,
+        })
+
+        while True:
+            header, payload = proto.recv_frame(sock)
+            kind = header.get("type")
+            if kind == "audio":
+                a, a16 = proto.unpack_audio(header, payload)
+                out = session.push(a, a16)
+                mh, mp = proto.pack_motion(out)
+                proto.send_frame(sock, {"type": "motion", **mh}, mp)
+            elif kind == "finish":
+                out = session.finish()
+                mh, mp = proto.pack_motion(out)
+                proto.send_frame(sock, {"type": "done", **mh}, mp)
+                return
+            else:
+                proto.send_frame(sock, {
+                    "type": "error",
+                    "message": f"unknown message type {kind!r}"})
+                return
+
+
+def _channels(cfg) -> int:
+    from diffsheg_tpu.models.factory import denoised_channels
+    return denoised_channels(cfg.model)
+
+
+class MotionClient:
+    """Blocking client for :class:`MotionServer` (also the test harness)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 600.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self.info: Optional[dict] = None
+
+    def start(self, speakers, seed: int = 0, window_frames: int = 0,
+              overlap: int = 0) -> dict:
+        proto.send_frame(self._sock, {
+            "type": "start", "speakers": list(speakers), "seed": seed,
+            "window_frames": window_frames, "overlap": overlap})
+        header, _ = proto.recv_frame(self._sock)
+        if header.get("type") != "ready":
+            raise RuntimeError(f"server refused session: {header}")
+        self.info = header
+        return header
+
+    def push(self, samples: np.ndarray,
+             samples_16k: Optional[np.ndarray] = None) -> np.ndarray:
+        h, p = proto.pack_audio(samples, samples_16k)
+        proto.send_frame(self._sock, h, p)
+        header, payload = proto.recv_frame(self._sock)
+        if header.get("type") != "motion":
+            raise RuntimeError(f"push failed: {header}")
+        return proto.unpack_motion(header, payload)
+
+    def finish(self) -> np.ndarray:
+        proto.send_frame(self._sock, {"type": "finish"})
+        header, payload = proto.recv_frame(self._sock)
+        if header.get("type") != "done":
+            raise RuntimeError(f"finish failed: {header}")
+        return proto.unpack_motion(header, payload)
+
+    def close(self):
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

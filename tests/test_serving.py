@@ -1,0 +1,184 @@
+"""Network serving daemon: a served live session must reproduce the
+in-process LiveSession exactly, survive bad clients, and bound its
+concurrent-session count."""
+
+import dataclasses
+import socket
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffsheg_tpu.config import beat_config
+from diffsheg_tpu.sampling.live import LiveSession
+from diffsheg_tpu.serving import protocol as proto
+from diffsheg_tpu.serving.server import MotionClient, MotionServer
+
+
+def _setup():
+    from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+
+    cfg = beat_config()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+        add_hubert=False))
+    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                    jax.random.PRNGKey(0))
+    return cfg, variables
+
+
+def _audio(cfg, frames, seed=1):
+    n = frames * cfg.data.mel_hop
+    return (np.random.RandomState(seed).randn(n) * 0.1).astype(np.float32)
+
+
+def _open_session(host, port, retries=100):
+    """Raw socket with a started session; retries while the max_sessions=1
+    slot is still being released by the previous test's handler thread."""
+    for _ in range(retries):
+        sock = socket.create_connection((host, port), timeout=60)
+        proto.send_frame(sock, {"type": "start", "speakers": [1]})
+        header, _ = proto.recv_frame(sock)
+        if header["type"] == "ready":
+            return sock
+        sock.close()
+        time.sleep(0.05)
+    raise AssertionError("never obtained a session slot")
+
+
+def _client(host, port, retries=100, **start_kw):
+    """MotionClient with a started session (same retry rationale)."""
+    for _ in range(retries):
+        cli = MotionClient(host, port)
+        try:
+            cli.start(**start_kw)
+            return cli
+        except RuntimeError as e:
+            cli.close()
+            if "max_sessions" not in str(e):
+                raise
+            time.sleep(0.05)
+    raise AssertionError("never obtained a session slot")
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg, variables = _setup()
+    srv = MotionServer(cfg, variables, max_sessions=1,
+                       log=lambda *a: None)
+    srv.start_background()
+    yield cfg, variables, srv.address
+    srv.shutdown()
+
+
+class TestServing:
+    def test_served_session_matches_in_process(self, server):
+        cfg, variables, (host, port) = server
+        T = 70
+        audio = _audio(cfg, T)
+
+        # in-process oracle: same speaker, same seed -> same key chain
+        pid = jax.nn.one_hot(jnp.array([2]), cfg.model.style_dim)
+        oracle = LiveSession.create(cfg, variables, pid,
+                                    jax.random.PRNGKey(7))
+        oracle.push(audio)
+        want = oracle.finish()
+
+        with _client(host, port, speakers=[2], seed=7) as cli:
+            info = cli.info
+            assert info["channels"] == cfg.model.motion_dim
+            assert info["window"] == cfg.data.n_poses
+            got_parts, chunk = [], len(audio) // 5
+            for i in range(5):
+                got_parts.append(cli.push(audio[i * chunk:(i + 1) * chunk]))
+            got_parts.append(cli.push(audio[5 * chunk:]))
+            emitted = sum(p.shape[1] for p in got_parts)
+            full = cli.finish()
+
+        assert emitted > 0                      # streamed before the end
+        assert full.shape == want.shape == (1, T, cfg.model.motion_dim)
+        np.testing.assert_array_equal(full, want)
+        # the incremental chunks are a prefix of the final motion
+        inc = np.concatenate(got_parts, axis=1)
+        np.testing.assert_array_equal(inc, full[:, :inc.shape[1]])
+
+    def test_reduced_window_session(self, server):
+        cfg, variables, (host, port) = server
+        audio = _audio(cfg, 40, seed=9)
+        with _client(host, port, speakers=[0, 3], seed=1,
+                     window_frames=12) as cli:
+            info = cli.info
+            assert info["window"] == 12 and info["batch"] == 2
+            cli.push(audio)
+            full = cli.finish()
+        assert full.shape == (2, 40, cfg.model.motion_dim)
+        assert np.isfinite(full).all()
+
+    def test_bad_speaker_rejected(self, server):
+        cfg, _, (host, port) = server
+        with pytest.raises(RuntimeError, match="speakers must be"):
+            _client(host, port, speakers=[cfg.model.style_dim + 5])
+
+    def test_unknown_message_type_errors(self, server):
+        _, _, (host, port) = server
+        sock = _open_session(host, port)
+        try:
+            proto.send_frame(sock, {"type": "frobnicate"})
+            header, _ = proto.recv_frame(sock)
+            assert header["type"] == "error"
+            assert "frobnicate" in header["message"]
+        finally:
+            sock.close()
+
+    def test_max_sessions_bound(self, server):
+        _, _, (host, port) = server
+        first = _open_session(host, port)
+        try:
+            # the single slot is held -> the second connection is refused
+            second = socket.create_connection((host, port), timeout=60)
+            try:
+                header, _ = proto.recv_frame(second)
+                assert header["type"] == "error"
+                assert "max_sessions" in header["message"]
+            finally:
+                second.close()
+        finally:
+            first.close()
+
+    def test_slot_released_after_session(self, server):
+        """A failed/closed session frees its slot for the next client."""
+        cfg, _, (host, port) = server
+        with _client(host, port, speakers=[1], seed=0) as cli:
+            cli.push(_audio(cfg, 10, seed=3))
+            cli.finish()
+        # server (max_sessions=1) accepts a fresh session afterwards
+        with _client(host, port, speakers=[0], seed=0) as cli:
+            assert cli.info["batch"] == 1
+
+
+class TestProtocol:
+    def test_motion_roundtrip(self):
+        m = np.random.RandomState(0).randn(2, 5, 7).astype(np.float32)
+        h, p = proto.pack_motion(m)
+        np.testing.assert_array_equal(proto.unpack_motion(h, p), m)
+
+    def test_audio_roundtrip(self):
+        a = np.random.RandomState(1).randn(100).astype(np.float32)
+        b = np.random.RandomState(2).randn(89).astype(np.float32)
+        h, p = proto.pack_audio(a, b)
+        ga, gb = proto.unpack_audio(h, p)
+        np.testing.assert_array_equal(ga, a)
+        np.testing.assert_array_equal(gb, b)
+        h, p = proto.pack_audio(a)
+        ga, gb = proto.unpack_audio(h, p)
+        np.testing.assert_array_equal(ga, a)
+        assert gb is None
+
+    def test_corrupt_payload_rejected(self):
+        with pytest.raises(proto.ProtocolError):
+            proto.unpack_motion({"batch": 1, "frames": 3, "channels": 2},
+                                b"\x00" * 7)
+        with pytest.raises(proto.ProtocolError):
+            proto.unpack_audio({"n": 10, "n16": 0}, b"\x00" * 8)
