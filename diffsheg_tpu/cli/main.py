@@ -325,6 +325,20 @@ def cmd_test_stream(args) -> int:
     return 0
 
 
+def cmd_export_ckpt(args) -> int:
+    """Export trained weights as a reference-format ``.tar`` so they can be
+    evaluated / fine-tuned in the upstream torch harness (which loads
+    {'encoder': state_dict, ...}, trainers/ddpm_beat_trainer.py:282-318)."""
+    from diffsheg_tpu.compat.torch_ckpt import save_reference_checkpoint
+
+    cfg = _base_config(args)
+    variables = _load_variables(cfg, args.checkpoint)
+    path = save_reference_checkpoint(variables, args.out,
+                                     epoch=args.epoch)
+    print(f"exported: {path}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     """Streaming serving daemon: one TCP connection = one live session
     (push audio chunks, pull motion as windows complete).  The deployment
@@ -460,6 +474,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write a self-contained HTML player per clip "
                          "(needs --template-bvh)")
     sp.set_defaults(fn=cmd_test_stream)
+
+    sp = sub.add_parser(
+        "export-ckpt", help="export weights as a reference-format .tar "
+                            "(run them in the upstream torch harness)")
+    common(sp)
+    sp.add_argument("--checkpoint", required=True,
+                    help="orbax checkpoint dir (or a reference .tar to "
+                         "re-export)")
+    sp.add_argument("--out", required=True, help="output .tar path")
+    sp.add_argument("--epoch", type=int, default=0,
+                    help="epoch number recorded in the tar")
+    sp.set_defaults(fn=cmd_export_ckpt)
 
     sp = sub.add_parser(
         "serve", help="streaming speech-to-motion serving daemon (TCP; one "

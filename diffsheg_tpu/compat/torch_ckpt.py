@@ -191,6 +191,140 @@ def load_reference_checkpoint(path: str, cfg: ModelConfig) -> Dict[str, Any]:
 
 
 # --------------------------------------------------------------------------
+# reverse direction: Flax variables -> reference state_dict / .tar
+# --------------------------------------------------------------------------
+#
+# Lets models trained HERE be evaluated or fine-tuned in the reference
+# torch harness (it loads {'encoder': state_dict, ...} tars with
+# strict=False, trainers/ddpm_beat_trainer.py:282-318).  Each transform is
+# the exact inverse of the loaders above, so convert->export->convert is
+# the identity (tests/test_compat.py).
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _inv_linear(sd, prefix, p) -> None:
+    sd[f"{prefix}.weight"] = _np(p["kernel"]).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _inv_layernorm(sd, prefix, p) -> None:
+    sd[f"{prefix}.weight"] = _np(p["scale"])
+    sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _inv_conv1d(sd, prefix, p) -> None:
+    sd[f"{prefix}.weight"] = _np(p["kernel"]).transpose(2, 1, 0)
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def _inv_stylization(sd, prefix, p) -> None:
+    _inv_linear(sd, f"{prefix}.emb_layers.1", p["emb_proj"])
+    _inv_layernorm(sd, f"{prefix}.norm", p["norm"])
+    _inv_linear(sd, f"{prefix}.out_layers.2", p["out_proj"])
+
+
+def _inv_attention(sd, prefix, p) -> None:
+    """sa_block and ca_block share the norm/q/k/v/proj_out layout; the
+    cross-attention block adds text_norm."""
+    _inv_layernorm(sd, f"{prefix}.norm", p["norm"])
+    if "text_norm" in p:
+        _inv_layernorm(sd, f"{prefix}.text_norm", p["text_norm"])
+    for name in ("query", "key", "value"):
+        _inv_linear(sd, f"{prefix}.{name}", p[name])
+    _inv_stylization(sd, f"{prefix}.proj_out", p["proj_out"])
+
+
+def _inv_ffn(sd, prefix, p) -> None:
+    _inv_linear(sd, f"{prefix}.linear1", p["linear1"])
+    _inv_linear(sd, f"{prefix}.linear2", p["linear2"])
+    _inv_stylization(sd, f"{prefix}.proj_out", p["proj_out"])
+
+
+def _inv_time_mlp(sd, prefix, p) -> None:
+    _inv_linear(sd, f"{prefix}.0", p["fc1"])
+    _inv_linear(sd, f"{prefix}.2", p["fc2"])
+
+
+def _inv_layer(sd, prefix, p) -> None:
+    _inv_attention(sd, f"{prefix}.sa_block", p["sa_block"])
+    _inv_ffn(sd, f"{prefix}.ffn", p["ffn"])
+    if "ca_block" in p:
+        _inv_attention(sd, f"{prefix}.ca_block", p["ca_block"])
+    if "feat_proj" in p:
+        fp = p["feat_proj"]
+        if "norm" in fp:         # mlp variant (LN, Linear, SiLU, Linear)
+            _inv_layernorm(sd, f"{prefix}.feat_proj.0", fp["norm"])
+            _inv_linear(sd, f"{prefix}.feat_proj.1", fp["fc1"])
+            _inv_linear(sd, f"{prefix}.feat_proj.3", fp["fc2"])
+        else:                    # plain linear variant
+            _inv_linear(sd, f"{prefix}.feat_proj", fp)
+
+
+def _inv_branch(sd, prefix, params, stats) -> None:
+    _inv_linear(sd, f"{prefix}.joint_embed", params["joint_embed"])
+    _inv_linear(sd, f"{prefix}.audio_proj", params["audio_proj"])
+    _inv_time_mlp(sd, f"{prefix}.time_embed", params["time_embed"])
+    _inv_linear(sd, f"{prefix}.out", params["out"])
+    if "pid_embed" in params:
+        _inv_time_mlp(sd, f"{prefix}.pid_embed", params["pid_embed"])
+    if "hubert_encoder" in params:
+        he = params["hubert_encoder"]
+        _inv_conv1d(sd, f"{prefix}.hubert_encoder.0", he["conv1"])
+        _inv_conv1d(sd, f"{prefix}.hubert_encoder.3", he["conv2"])
+        sd[f"{prefix}.hubert_encoder.1.weight"] = _np(he["bn"]["scale"])
+        sd[f"{prefix}.hubert_encoder.1.bias"] = _np(he["bn"]["bias"])
+        bn_stats = (stats or {}).get("hubert_encoder", {}).get("bn", {})
+        if bn_stats:
+            sd[f"{prefix}.hubert_encoder.1.running_mean"] = \
+                _np(bn_stats["mean"])
+            sd[f"{prefix}.hubert_encoder.1.running_var"] = \
+                _np(bn_stats["var"])
+    if "null_cond_emb" in params:
+        sd[f"{prefix}.null_cond_emb"] = _np(params["null_cond_emb"])
+    if "sequence_embedding" in params:
+        sd[f"{prefix}.sequence_embedding"] = \
+            _np(params["sequence_embedding"])
+    i = 0
+    while f"layer_{i}" in params:
+        _inv_layer(sd, f"{prefix}.temporal_decoder_blocks.{i}",
+                   params[f"layer_{i}"])
+        i += 1
+
+
+def export_unidiffuser_state_dict(variables: Dict[str, Any]
+                                  ) -> Dict[str, np.ndarray]:
+    """Flax UniDiffuser variables -> reference state_dict (numpy values,
+    reference models/transformer.py module names)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+    _inv_time_mlp(sd, "time_embed", params["time_embed"])
+    _inv_layer(sd, "encoder_aud", params["encoder_aud"])
+    for name in ("encoder_exp", "encoder_ges"):
+        _inv_branch(sd, name, params[name], stats.get(name))
+    return sd
+
+
+def save_reference_checkpoint(variables: Dict[str, Any], path: str,
+                              epoch: int = 0, total_it: int = 0) -> str:
+    """Write a reference-format ``.tar`` (torch.save) checkpoint the
+    upstream harness loads with its own ckpt code
+    (trainers/ddpm_beat_trainer.py:282-318)."""
+    import torch
+
+    # np.array(copy=True) keeps torch off jax's read-only buffer views
+    sd = {k: torch.from_numpy(np.array(v, dtype=np.float32))
+          for k, v in export_unidiffuser_state_dict(variables).items()}
+    torch.save({"encoder": sd, "ep": int(epoch),
+                "total_it": int(total_it)}, path)
+    return path
+
+
+# --------------------------------------------------------------------------
 # synthetic state-dict generator — used by tests to validate the mapping
 # without shipping a real checkpoint
 # --------------------------------------------------------------------------

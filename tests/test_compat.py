@@ -107,3 +107,49 @@ def test_linear_weights_transposed_not_copied():
     variables = convert_unidiffuser_state_dict(sd, cfg)
     got = np.asarray(variables["params"]["encoder_exp"]["joint_embed"]["kernel"])
     np.testing.assert_array_equal(got, marker.T)
+
+
+@pytest.mark.parametrize("preset", [beat_config, show_config])
+def test_export_roundtrip_is_identity(preset):
+    """Reverse converter: synthetic reference sd -> flax -> reference sd
+    must reproduce every key and every value exactly (modulo the
+    num_batches_tracked counters the loader ignores)."""
+    from diffsheg_tpu.compat.torch_ckpt import export_unidiffuser_state_dict
+
+    mcfg = _tiny(preset())
+    sd = _synthetic_sd(expected_reference_keys(mcfg))
+    variables = convert_unidiffuser_state_dict(sd, mcfg)
+    back = export_unidiffuser_state_dict(variables)
+    assert sorted(back) == sorted(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_save_reference_checkpoint_loads_back(tmp_path):
+    """The .tar written by save_reference_checkpoint round-trips through
+    load_reference_checkpoint (the torch.save container format the
+    reference trainer reads, ddpm_beat_trainer.py:282-318)."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    from diffsheg_tpu.compat.torch_ckpt import (
+        load_reference_checkpoint,
+        save_reference_checkpoint,
+    )
+
+    mcfg = _tiny(beat_config())
+    _, variables = init_unidiffuser(mcfg, n_poses=8,
+                                    rng=jax.random.PRNGKey(3))
+    path = str(tmp_path / "export.tar")
+    save_reference_checkpoint(variables, path, epoch=7, total_it=123)
+
+    import torch as _torch
+    raw = _torch.load(path, map_location="cpu", weights_only=False)
+    assert raw["ep"] == 7 and raw["total_it"] == 123
+
+    got = load_reference_checkpoint(path, mcfg)
+    want_p = _tree_paths(variables["params"])
+    got_p = _tree_paths(got["params"])
+    assert got_p == want_p
+    # spot-check exact values through the double conversion
+    np.testing.assert_array_equal(
+        np.asarray(got["params"]["encoder_ges"]["out"]["kernel"]),
+        np.asarray(variables["params"]["encoder_ges"]["out"]["kernel"]))
