@@ -145,6 +145,10 @@ def _branch(sd, prefix, cfg: ModelConfig, num_layers: int
             "bn": {"mean": _t(sd[f"{prefix}.hubert_encoder.1.running_mean"]),
                    "var": _t(sd[f"{prefix}.hubert_encoder.1.running_var"])},
         }
+    elif f"{prefix}.hubert_encoder.weight" in sd:
+        # wav2vec2 path: a single nn.Linear(768, 256)
+        # (reference models/transformer.py:444, encode_wav2vec2)
+        params["hubert_encoder"] = _linear(sd, f"{prefix}.hubert_encoder")
     if f"{prefix}.null_cond_emb" in sd:
         params["null_cond_emb"] = _t(sd[f"{prefix}.null_cond_emb"])
     if f"{prefix}.sequence_embedding" in sd:
@@ -273,16 +277,19 @@ def _inv_branch(sd, prefix, params, stats) -> None:
         _inv_time_mlp(sd, f"{prefix}.pid_embed", params["pid_embed"])
     if "hubert_encoder" in params:
         he = params["hubert_encoder"]
-        _inv_conv1d(sd, f"{prefix}.hubert_encoder.0", he["conv1"])
-        _inv_conv1d(sd, f"{prefix}.hubert_encoder.3", he["conv2"])
-        sd[f"{prefix}.hubert_encoder.1.weight"] = _np(he["bn"]["scale"])
-        sd[f"{prefix}.hubert_encoder.1.bias"] = _np(he["bn"]["bias"])
-        bn_stats = (stats or {}).get("hubert_encoder", {}).get("bn", {})
-        if bn_stats:
-            sd[f"{prefix}.hubert_encoder.1.running_mean"] = \
-                _np(bn_stats["mean"])
-            sd[f"{prefix}.hubert_encoder.1.running_var"] = \
-                _np(bn_stats["var"])
+        if "conv1" in he:        # encode_hubert conv stack
+            _inv_conv1d(sd, f"{prefix}.hubert_encoder.0", he["conv1"])
+            _inv_conv1d(sd, f"{prefix}.hubert_encoder.3", he["conv2"])
+            sd[f"{prefix}.hubert_encoder.1.weight"] = _np(he["bn"]["scale"])
+            sd[f"{prefix}.hubert_encoder.1.bias"] = _np(he["bn"]["bias"])
+            bn_stats = (stats or {}).get("hubert_encoder", {}).get("bn", {})
+            if bn_stats:
+                sd[f"{prefix}.hubert_encoder.1.running_mean"] = \
+                    _np(bn_stats["mean"])
+                sd[f"{prefix}.hubert_encoder.1.running_var"] = \
+                    _np(bn_stats["var"])
+        else:                    # wav2vec2 single nn.Linear variant
+            _inv_linear(sd, f"{prefix}.hubert_encoder", he)
     if "null_cond_emb" in params:
         sd[f"{prefix}.null_cond_emb"] = _np(params["null_cond_emb"])
     if "sequence_embedding" in params:
@@ -298,9 +305,30 @@ def _inv_branch(sd, prefix, params, stats) -> None:
 def export_unidiffuser_state_dict(variables: Dict[str, Any]
                                   ) -> Dict[str, np.ndarray]:
     """Flax UniDiffuser variables -> reference state_dict (numpy values,
-    reference models/transformer.py module names)."""
+    reference models/transformer.py module names).
+
+    Raises ``ValueError`` for variable trees that have no reference
+    representation instead of exporting a silently-incomplete tar."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    missing = [n for n in ("encoder_exp", "encoder_ges") if n not in params]
+    if missing:
+        raise ValueError(
+            f"cannot export: params lack {missing} — only the two-branch "
+            "UniDiffuser (model.branch_mode='joint') maps onto the "
+            "reference checkpoint layout (models/transformer.py:603-700); "
+            "single-branch trees have no upstream equivalent")
+    unconvertible = sorted(
+        f"{b}.{k}" for b in ("encoder_exp", "encoder_ges")
+        for k in ("text_embed", "text_tcn", "emotion_embed", "emotion_tail")
+        if k in params[b])
+    if unconvertible:
+        raise ValueError(
+            f"cannot export: {unconvertible} have no reference layout — "
+            "the upstream addTextCond/addEmoCond path references "
+            "self.text_encoder/self.emotion_embedding modules it never "
+            "defines (models/transformer.py:519-527), so these trained "
+            "weights would be silently dropped by a strict=False load")
     sd: Dict[str, np.ndarray] = {}
     _inv_time_mlp(sd, "time_embed", params["time_embed"])
     _inv_layer(sd, "encoder_aud", params["encoder_aud"])
@@ -391,14 +419,22 @@ def expected_reference_keys(cfg: ModelConfig, num_layers: int = None
             linear(f"{p}.pid_embed.0", cfg.style_dim, E)
             linear(f"{p}.pid_embed.2", E, E)
         if cfg.add_hubert and cfg.encode_hubert:
-            keys[f"{p}.hubert_encoder.0.weight"] = (cfg.hubert_latent_dim,
-                                                    cfg.hubert_dim, 3)
-            keys[f"{p}.hubert_encoder.1.weight"] = (cfg.hubert_latent_dim,)
-            keys[f"{p}.hubert_encoder.1.bias"] = (cfg.hubert_latent_dim,)
-            keys[f"{p}.hubert_encoder.1.running_mean"] = (cfg.hubert_latent_dim,)
-            keys[f"{p}.hubert_encoder.1.running_var"] = (cfg.hubert_latent_dim,)
-            keys[f"{p}.hubert_encoder.3.weight"] = (cfg.hubert_latent_dim,
-                                                    cfg.hubert_latent_dim, 3)
+            if cfg.speech_encoder == "linear":
+                # wav2vec2: one nn.Linear (transformer.py:444)
+                linear(f"{p}.hubert_encoder", cfg.hubert_dim,
+                       cfg.hubert_latent_dim)
+            else:
+                keys[f"{p}.hubert_encoder.0.weight"] = (cfg.hubert_latent_dim,
+                                                        cfg.hubert_dim, 3)
+                keys[f"{p}.hubert_encoder.1.weight"] = (cfg.hubert_latent_dim,)
+                keys[f"{p}.hubert_encoder.1.bias"] = (cfg.hubert_latent_dim,)
+                keys[f"{p}.hubert_encoder.1.running_mean"] = (
+                    cfg.hubert_latent_dim,)
+                keys[f"{p}.hubert_encoder.1.running_var"] = (
+                    cfg.hubert_latent_dim,)
+                keys[f"{p}.hubert_encoder.3.weight"] = (cfg.hubert_latent_dim,
+                                                        cfg.hubert_latent_dim,
+                                                        3)
         pre_proj = L + AL + exp_cond
         if cfg.add_hubert:
             pre_proj += cfg.hubert_latent_dim if cfg.encode_hubert else cfg.hubert_dim

@@ -59,7 +59,8 @@ class LiveSession:
     @classmethod
     def create(cls, cfg, variables, person_id: jax.Array, rng: jax.Array,
                window_frames: int = 0, overlap: int = 0,
-               hubert_extractor=None) -> "LiveSession":
+               hubert_extractor=None, gen_cache: Optional[dict] = None
+               ) -> "LiveSession":
         """Build a session, optionally at a REDUCED live window size.
 
         The denoiser is window-length-agnostic (attention + per-frame
@@ -75,6 +76,13 @@ class LiveSession:
         ``overlap`` overrides the RePaint overlap (default: keep the
         config's; capped at window_frames//2 so a small window still has
         fresh frames).
+
+        ``gen_cache`` (a plain dict the caller owns) shares compiled
+        :class:`WindowGenerator` instances across sessions keyed by the
+        resulting (n_poses, overlap_len): ``generate`` is pure — all
+        session state (RePaint tails, rng) is threaded through arguments —
+        so reusing one skips the per-session XLA compile and weight cast.
+        The serving daemon passes its per-server cache here.
         """
         import dataclasses as _dc
         if window_frames:
@@ -86,8 +94,14 @@ class LiveSession:
         elif overlap:
             cfg = cfg.replace(
                 stream=_dc.replace(cfg.stream, overlap_len=overlap))
-        return cls(WindowGenerator(cfg, variables), person_id, rng,
-                   hubert_extractor=hubert_extractor)
+        key = (cfg.data.n_poses, cfg.stream.overlap_len)
+        if gen_cache is not None and key in gen_cache:
+            gen = gen_cache[key]
+        else:
+            gen = WindowGenerator(cfg, variables)
+            if gen_cache is not None:
+                gen_cache[key] = gen
+        return cls(gen, person_id, rng, hubert_extractor=hubert_extractor)
 
     def __init__(self, gen: WindowGenerator, person_id: jax.Array,
                  rng: jax.Array, hubert_extractor=None):

@@ -31,7 +31,6 @@ work onto the chip.
 
 from __future__ import annotations
 
-import json
 import socket
 import socketserver
 import threading
@@ -43,16 +42,31 @@ from diffsheg_tpu.serving import protocol as proto
 
 
 class MotionServer:
-    """Own the model/config and serve live sessions over TCP."""
+    """Own the model/config and serve live sessions over TCP.
+
+    ``max_sessions`` bounds concurrent connections, ``max_batch`` bounds the
+    per-session speaker count (= device batch), and ``idle_timeout`` reaps
+    connections that stop sending (a silently-dead client would otherwise
+    hold its session slot forever).  Compiled window generators are cached
+    per (window_frames, overlap) and shared across sessions — the sampler
+    is pure (RePaint tails are threaded through arguments), so a reconnect
+    with the same geometry skips the multi-second XLA compile and reuses
+    the already-cast weights.
+    """
 
     def __init__(self, cfg, variables, hubert_extractor=None,
                  host: str = "127.0.0.1", port: int = 0,
-                 max_sessions: int = 8, log=print):
+                 max_sessions: int = 8, max_batch: int = 64,
+                 idle_timeout: float = 600.0, log=print):
         self.cfg = cfg
         self.variables = variables
         self.hubert_fe = hubert_extractor
+        self.max_batch = max_batch
+        self.idle_timeout = idle_timeout
         self.log = log
         self._slots = threading.BoundedSemaphore(max_sessions)
+        self._gens: dict = {}              # (window, overlap) -> generator
+        self._gens_lock = threading.Lock()
         outer = self
 
         class _Handler(socketserver.BaseRequestHandler):
@@ -87,11 +101,34 @@ class MotionServer:
     # -- one connection = one session -----------------------------------------
     def _handle(self, sock: socket.socket) -> None:
         if not self._slots.acquire(blocking=False):
-            proto.send_frame(sock, {"type": "error",
-                                    "message": "server at max_sessions"})
+            # Drain the client's pending start frame BEFORE replying:
+            # closing with unread data in the receive buffer makes the
+            # kernel send RST, which would discard the queued error frame
+            # on the client side (it would see ConnectionResetError
+            # instead of the retryable "max_sessions" message).
+            try:
+                sock.settimeout(2.0)
+                proto.recv_frame(sock)
+            except (OSError, proto.ProtocolError):
+                pass
+            try:
+                proto.send_frame(sock, {"type": "error",
+                                        "message": "server at max_sessions"})
+            except OSError:
+                pass
             return
         try:
+            sock.settimeout(self.idle_timeout)
             self._session_loop(sock)
+        except TimeoutError:
+            try:
+                proto.send_frame(sock, {
+                    "type": "error",
+                    "message": f"idle for {self.idle_timeout}s, "
+                               "closing session"})
+            except OSError:
+                pass
+            self.log("[serve] reaped idle session")
         except proto.ProtocolError as e:
             self.log(f"[serve] protocol error: {e}")
         except Exception as e:  # noqa: BLE001 — report, don't kill the server
@@ -117,21 +154,29 @@ class MotionServer:
         cfg = self.cfg
         speakers = header.get("speakers", [0])
         if not isinstance(speakers, list) or not speakers or any(
-                not isinstance(s, int) or not 0 <= s < cfg.model.style_dim
-                for s in speakers):
+                not isinstance(s, int) or isinstance(s, bool)
+                or not 0 <= s < cfg.model.style_dim for s in speakers):
             proto.send_frame(sock, {
                 "type": "error",
                 "message": f"speakers must be ints in [0, "
                            f"{cfg.model.style_dim}), got {speakers!r}"})
             return
+        if len(speakers) > self.max_batch:
+            proto.send_frame(sock, {
+                "type": "error",
+                "message": f"{len(speakers)} speakers exceeds the server's "
+                           f"max_batch={self.max_batch}"})
+            return
         pid = jax.nn.one_hot(np.asarray(speakers), cfg.model.style_dim)
-        session = LiveSession.create(
-            cfg, self.variables, pid,
-            jax.random.PRNGKey(int(header.get("seed", 0))),
-            window_frames=int(header.get("window_frames", 0)),
-            overlap=int(header.get("overlap", 0)),
-            hubert_extractor=self.hubert_fe,
-        )
+        with self._gens_lock:
+            session = LiveSession.create(
+                cfg, self.variables, pid,
+                jax.random.PRNGKey(int(header.get("seed", 0))),
+                window_frames=int(header.get("window_frames", 0)),
+                overlap=int(header.get("overlap", 0)),
+                hubert_extractor=self.hubert_fe,
+                gen_cache=self._gens,
+            )
         proto.send_frame(sock, {
             "type": "ready", "batch": len(speakers),
             "channels": int(_channels(cfg)),

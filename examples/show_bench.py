@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_FPS = 120.0  # A100, inference_custom_audio_show.sh:18
+BASELINE_FPS = 120.0  # A100, inference_custom_audio_show.sh:18 (jn=2)
+BASELINE_FPS_JN5 = 50.0  # A100, default config, inference_custom_audio_show.sh:1-15
 
 
 def main():
@@ -35,8 +36,15 @@ def main():
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
 
     cfg = show_config()
+    import os
+    jn = int(os.environ.get("BENCH_JN", "2"))
+    baselines = {2: BASELINE_FPS, 5: BASELINE_FPS_JN5}
+    if jn not in baselines:
+        sys.exit(f"BENCH_JN={jn}: no published A100 baseline for this "
+                 f"jump_n_sample (known: {sorted(baselines)})")
+    baseline = baselines[jn]
     cfg = cfg.replace(diffusion=dataclasses.replace(
-        cfg.diffusion, jump_n_sample=2))
+        cfg.diffusion, jump_n_sample=jn))
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16"))
 
@@ -76,10 +84,10 @@ def main():
           f"frames={frames} (CFG batch-doubled, overlap 10)",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "show_generation_fps",
+        "metric": "show_generation_fps" + (f"_jn{jn}" if jn != 2 else ""),
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / baseline, 3),
     }))
 
 

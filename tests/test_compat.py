@@ -125,6 +125,56 @@ def test_export_roundtrip_is_identity(preset):
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
 
 
+def test_linear_speech_encoder_roundtrip():
+    """The wav2vec2 variant (speech_encoder='linear', one nn.Linear at
+    transformer.py:444) must convert in BOTH directions: sd -> flax tree
+    matching model init, and back to the identical sd."""
+    from diffsheg_tpu.compat.torch_ckpt import export_unidiffuser_state_dict
+
+    mcfg = dataclasses.replace(_tiny(beat_config()),
+                               speech_encoder="linear",
+                               hubert_dim=24, hubert_latent_dim=12)
+    sd = _synthetic_sd(expected_reference_keys(mcfg))
+    assert "encoder_exp.hubert_encoder.weight" in sd          # the Linear
+    assert "encoder_exp.hubert_encoder.0.weight" not in sd    # not the conv
+    variables = convert_unidiffuser_state_dict(sd, mcfg)
+
+    _, init_vars = init_unidiffuser(mcfg, n_poses=8,
+                                    rng=jax.random.PRNGKey(0))
+    assert set(_tree_paths(variables["params"])) == \
+        set(_tree_paths(jax.tree.map(np.asarray, dict(init_vars["params"]))))
+
+    back = export_unidiffuser_state_dict(variables)
+    assert sorted(back) == sorted(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_export_rejects_unrepresentable_trees():
+    """Trees with no reference layout must fail loudly, not export a
+    silently-incomplete tar: single-branch models and the completed
+    text/emo hooks (upstream never defines those modules,
+    transformer.py:519-527)."""
+    from diffsheg_tpu.compat.torch_ckpt import export_unidiffuser_state_dict
+
+    mcfg = _tiny(beat_config())
+    sd = _synthetic_sd(expected_reference_keys(mcfg))
+    variables = convert_unidiffuser_state_dict(sd, mcfg)
+
+    single = {"params": {k: v for k, v in variables["params"].items()
+                         if k != "encoder_ges"}}
+    with pytest.raises(ValueError, match="encoder_ges"):
+        export_unidiffuser_state_dict(single)
+
+    hooked = {"params": dict(variables["params"]),
+              "batch_stats": variables["batch_stats"]}
+    hooked["params"]["encoder_exp"] = dict(hooked["params"]["encoder_exp"])
+    hooked["params"]["encoder_exp"]["text_embed"] = {
+        "embedding": np.zeros((5, 4), np.float32)}
+    with pytest.raises(ValueError, match="text_embed"):
+        export_unidiffuser_state_dict(hooked)
+
+
 def test_save_reference_checkpoint_loads_back(tmp_path):
     """The .tar written by save_reference_checkpoint round-trips through
     load_reference_checkpoint (the torch.save container format the

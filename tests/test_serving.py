@@ -120,6 +120,16 @@ class TestServing:
         cfg, _, (host, port) = server
         with pytest.raises(RuntimeError, match="speakers must be"):
             _client(host, port, speakers=[cfg.model.style_dim + 5])
+        # JSON true is a Python bool — must not pass the int check
+        with pytest.raises(RuntimeError, match="speakers must be"):
+            _client(host, port, speakers=[True])
+
+    def test_oversized_batch_rejected(self, server):
+        """The client controls the session batch (one one-hot row per
+        speaker); the server must bound it BEFORE compiling anything."""
+        _, _, (host, port) = server
+        with pytest.raises(RuntimeError, match="max_batch"):
+            _client(host, port, speakers=[0] * 65)
 
     def test_unknown_message_type_errors(self, server):
         _, _, (host, port) = server
@@ -156,6 +166,49 @@ class TestServing:
         # server (max_sessions=1) accepts a fresh session afterwards
         with _client(host, port, speakers=[0], seed=0) as cli:
             assert cli.info["batch"] == 1
+
+    def test_idle_session_reaped(self):
+        """A client that stops sending must not hold its slot forever: the
+        server reaps it after idle_timeout and the next client gets in."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1, idle_timeout=0.3,
+                           log=lambda *a: None)
+        srv.start_background()
+        try:
+            host, port = srv.address
+            silent = _open_session(host, port)
+            try:
+                header, _ = proto.recv_frame(silent)   # server reaps us
+                assert header["type"] == "error"
+                assert "idle" in header["message"]
+            finally:
+                silent.close()
+            with _client(host, port, speakers=[0], seed=0) as cli:
+                assert cli.info["batch"] == 1
+        finally:
+            srv.shutdown()
+
+    def test_window_generators_shared_across_sessions(self):
+        """Reconnecting with the same geometry must reuse the compiled
+        WindowGenerator (no per-connection recompile / weight copy)."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           log=lambda *a: None)
+        srv.start_background()
+        try:
+            host, port = srv.address
+            for _ in range(2):                       # two full connections
+                with _client(host, port, speakers=[1], seed=0) as cli:
+                    cli.finish()                     # empty session is fine
+            assert len(srv._gens) == 1
+            first = next(iter(srv._gens.values()))
+            with _client(host, port, speakers=[2], seed=5,
+                         window_frames=12) as cli:   # new geometry -> new gen
+                cli.finish()
+            assert len(srv._gens) == 2
+            assert next(iter(srv._gens.values())) is first
+        finally:
+            srv.shutdown()
 
 
 class TestProtocol:
