@@ -363,7 +363,16 @@ def cmd_serve(args) -> int:
     from diffsheg_tpu.serving.server import MotionServer
     server = MotionServer(cfg, variables, hubert_extractor=hubert_fe,
                           host=args.host, port=args.port,
-                          max_sessions=args.max_sessions)
+                          max_sessions=args.max_sessions,
+                          max_batch=args.max_batch,
+                          idle_timeout=args.idle_timeout)
+    if args.prewarm:
+        try:
+            sizes = tuple(int(x) for x in args.prewarm.split(","))
+        except ValueError:
+            raise SystemExit(f"--prewarm {args.prewarm!r}: expected "
+                             "comma-separated batch sizes, e.g. 1,2,4")
+        server.prewarm(sizes)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -498,6 +507,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--port", type=int, default=7431)
     sp.add_argument("--max-sessions", type=int, default=8,
                     help="bound on concurrent live sessions")
+    sp.add_argument("--max-batch", type=int, default=64,
+                    help="bound on speakers (= device batch) per session")
+    sp.add_argument("--idle-timeout", type=float, default=600.0,
+                    help="seconds of client silence before a session is "
+                         "reaped and its slot freed")
+    sp.add_argument("--prewarm",
+                    help="comma-separated batch sizes to compile at "
+                         "startup (e.g. 1,2) so the first client at that "
+                         "size skips the XLA compile")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser(

@@ -83,8 +83,8 @@ def frechet_distance_scipy(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float
     """Reference-identical path via scipy.linalg.sqrtm, for parity tests."""
     assert _scipy_linalg is not None, "scipy unavailable"
     diff = np.atleast_1d(mu1) - np.atleast_1d(mu2)
-    covmean, _ = _scipy_linalg.sqrtm(
-        np.atleast_2d(sigma1) @ np.atleast_2d(sigma2), disp=False)
+    covmean = _scipy_linalg.sqrtm(
+        np.atleast_2d(sigma1) @ np.atleast_2d(sigma2))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)

@@ -98,6 +98,35 @@ class MotionServer:
         self._server.shutdown()
         self._server.server_close()
 
+    def prewarm(self, batch_sizes=(1,), window_frames: int = 0,
+                overlap: int = 0) -> None:
+        """Compile the serving programs BEFORE accepting clients.
+
+        Runs a silent two-window synthetic session per batch size, which
+        traces both window programs (the plain first window and the
+        RePaint continuation) into the shared generator cache — so the
+        first real client at one of these batch sizes skips the
+        multi-second first-call XLA compile entirely.
+        """
+        import jax
+
+        from diffsheg_tpu.sampling.live import LiveSession
+
+        for b in batch_sizes:
+            pid = jax.nn.one_hot(np.zeros((b,), np.int32),
+                                 self.cfg.model.style_dim)
+            with self._gens_lock:
+                s = LiveSession.create(
+                    self.cfg, self.variables, pid, jax.random.PRNGKey(0),
+                    window_frames=window_frames, overlap=overlap,
+                    hubert_extractor=self.hubert_fe, gen_cache=self._gens)
+            frames = s.size + s.step          # two windows' worth
+            a16 = (np.zeros(int(np.ceil(frames / s.fps * 16000)), np.float32)
+                   if self.hubert_fe is not None else None)
+            out = s.push(np.zeros((frames + 1) * s.hop, np.float32), a16)
+            self.log(f"[serve] prewarmed batch={b} "
+                     f"(window {s.size}, {out.shape[1]} frames traced)")
+
     # -- one connection = one session -----------------------------------------
     def _handle(self, sock: socket.socket) -> None:
         if not self._slots.acquire(blocking=False):

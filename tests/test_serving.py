@@ -188,6 +188,25 @@ class TestServing:
         finally:
             srv.shutdown()
 
+    def test_prewarm_compiles_ahead(self):
+        """prewarm() must trace both window programs into the shared cache
+        so a real client at that batch size reuses them."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           log=lambda *a: None)
+        srv.start_background()
+        try:
+            srv.prewarm((2,))
+            assert len(srv._gens) == 1
+            host, port = srv.address
+            with _client(host, port, speakers=[1, 3], seed=2) as cli:
+                cli.push(_audio(cfg, 40, seed=4))
+                full = cli.finish()
+            assert full.shape[0] == 2 and np.isfinite(full).all()
+            assert len(srv._gens) == 1       # reused, not rebuilt
+        finally:
+            srv.shutdown()
+
     def test_window_generators_shared_across_sessions(self):
         """Reconnecting with the same geometry must reuse the compiled
         WindowGenerator (no per-connection recompile / weight copy)."""
