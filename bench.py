@@ -127,13 +127,8 @@ def main():
     # jump_n_sample 5, A100 baseline 25 FPS
     # (inference_custom_audio_beat.sh:1-13); default is the fast config
     # (jn=2, 55 FPS baseline, :15-28)
-    jn = int(os.environ.get("BENCH_JN", "2"))
-    baselines = {2: BASELINE_FPS, 5: 25.0}
-    if jn not in baselines:
-        sys.exit(f"BENCH_JN={jn}: no published A100 baseline for this "
-                 f"jump_n_sample (known: {sorted(baselines)}) — a "
-                 "vs_baseline ratio would be meaningless")
-    baseline = baselines[jn]
+    from diffsheg_tpu.utils.benchcfg import jump_config_baseline
+    jn, baseline = jump_config_baseline({2: BASELINE_FPS, 5: 25.0})
 
     cfg = beat_config()
     cfg = cfg.replace(diffusion=dataclasses.replace(

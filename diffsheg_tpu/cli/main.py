@@ -365,7 +365,9 @@ def cmd_serve(args) -> int:
                           host=args.host, port=args.port,
                           max_sessions=args.max_sessions,
                           max_batch=args.max_batch,
-                          idle_timeout=args.idle_timeout)
+                          idle_timeout=args.idle_timeout,
+                          client_geometry=args.client_geometry,
+                          max_stream_seconds=args.max_stream_seconds)
     if args.prewarm:
         try:
             sizes = tuple(int(x) for x in args.prewarm.split(","))
@@ -516,6 +518,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated batch sizes to compile at "
                          "startup (e.g. 1,2) so the first client at that "
                          "size skips the XLA compile")
+    sp.add_argument("--client-geometry", action="store_true",
+                    help="let clients request custom window_frames/overlap "
+                         "(each novel geometry is a fresh XLA compile; off "
+                         "by default so the network cannot mint compiles)")
+    sp.add_argument("--max-stream-seconds", type=float, default=3600.0,
+                    help="per-session audio cap (a live session retains "
+                         "its stream until finish; this bounds its memory)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser(

@@ -283,11 +283,18 @@ def _inv_branch(sd, prefix, params, stats) -> None:
             sd[f"{prefix}.hubert_encoder.1.weight"] = _np(he["bn"]["scale"])
             sd[f"{prefix}.hubert_encoder.1.bias"] = _np(he["bn"]["bias"])
             bn_stats = (stats or {}).get("hubert_encoder", {}).get("bn", {})
-            if bn_stats:
-                sd[f"{prefix}.hubert_encoder.1.running_mean"] = \
-                    _np(bn_stats["mean"])
-                sd[f"{prefix}.hubert_encoder.1.running_var"] = \
-                    _np(bn_stats["var"])
+            if not bn_stats:
+                raise ValueError(
+                    "cannot export: conv hubert_encoder has no batch_stats "
+                    "(BatchNorm running mean/var -> hubert_encoder.1."
+                    "running_mean/var) — a tar without them reloads under "
+                    "the reference's strict=False with INIT stats (mean 0, "
+                    "var 1), silently wrong; restore the checkpoint with "
+                    "its batch_stats collection before exporting")
+            sd[f"{prefix}.hubert_encoder.1.running_mean"] = \
+                _np(bn_stats["mean"])
+            sd[f"{prefix}.hubert_encoder.1.running_var"] = \
+                _np(bn_stats["var"])
         else:                    # wav2vec2 single nn.Linear variant
             _inv_linear(sd, f"{prefix}.hubert_encoder", he)
     if "null_cond_emb" in params:

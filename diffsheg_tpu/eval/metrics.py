@@ -80,11 +80,17 @@ def frechet_from_activations(gen: np.ndarray, real: np.ndarray) -> float:
 
 
 def frechet_distance_scipy(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
-    """Reference-identical path via scipy.linalg.sqrtm, for parity tests."""
+    """Reference-identical path via scipy.linalg.sqrtm, for parity tests —
+    including the singular-product retry with an ``eps`` diagonal offset
+    (reference utils/metrics.py:128-134), which the rank-deficient
+    small-sample case hits."""
     assert _scipy_linalg is not None, "scipy unavailable"
     diff = np.atleast_1d(mu1) - np.atleast_1d(mu2)
-    covmean = _scipy_linalg.sqrtm(
-        np.atleast_2d(sigma1) @ np.atleast_2d(sigma2))
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    covmean, _ = _scipy_linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _scipy_linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)

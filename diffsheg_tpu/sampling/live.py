@@ -33,6 +33,7 @@ for the end-padding-dependent frames.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -42,6 +43,26 @@ import numpy as np
 from diffsheg_tpu.audio.mel import hann_window, mel_filterbank, stft_magsq
 from diffsheg_tpu.models.factory import denoised_channels
 from diffsheg_tpu.sampling.generator import WindowGenerator
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_frontend(sr: int, n_fft: int, hop: int, n_mels: int):
+    """Shared (window, filterbank, jitted mel) keyed by STFT geometry.
+
+    Hoisted out of the session so a reconnect does NOT re-trace the mel
+    program: ``@jax.jit`` caches per function object, and a per-session
+    closure is a new function object every time — with this cache every
+    session with the same geometry reuses one compiled executable (and one
+    device-resident filterbank)."""
+    window = jnp.asarray(hann_window(n_fft))
+    filters = jnp.asarray(mel_filterbank(sr, n_fft, n_mels).T)
+
+    @jax.jit
+    def mel_segment(seg):
+        power = stft_magsq(seg[None], n_fft, hop, window, center=False)
+        return power @ filters                # (1, frames, n_mels)
+
+    return window, filters, mel_segment
 
 
 class LiveSession:
@@ -85,13 +106,26 @@ class LiveSession:
         The serving daemon passes its per-server cache here.
         """
         import dataclasses as _dc
+        if window_frames < 0 or overlap < 0:
+            raise ValueError(
+                f"window_frames={window_frames}, overlap={overlap}: "
+                "both must be >= 0 (0 = keep the config's value)")
         if window_frames:
             ov = overlap or min(cfg.stream.overlap_len, window_frames // 2)
+            if ov >= window_frames:
+                raise ValueError(
+                    f"overlap={ov} >= window_frames={window_frames}: the "
+                    "window step (window - overlap) must be >= 1 or the "
+                    "session can never advance")
             cfg = cfg.replace(
                 data=_dc.replace(cfg.data, n_poses=window_frames),
                 stream=_dc.replace(cfg.stream, overlap_len=ov),
             )
         elif overlap:
+            if overlap >= cfg.data.n_poses:
+                raise ValueError(
+                    f"overlap={overlap} >= window size {cfg.data.n_poses}: "
+                    "the window step (window - overlap) must be >= 1")
             cfg = cfg.replace(
                 stream=_dc.replace(cfg.stream, overlap_len=overlap))
         key = (cfg.data.n_poses, cfg.stream.overlap_len)
@@ -129,20 +163,18 @@ class LiveSession:
         self._prev_tails = None                          # same_overlap_noisy
         self._finished = False
 
-        self._window = jnp.asarray(hann_window(self.n_fft))
-        self._filters = jnp.asarray(
-            mel_filterbank(self.sr, self.n_fft, d.n_mels).T)
+        self._window, self._filters, self._mel_segment = _mel_frontend(
+            self.sr, self.n_fft, self.hop, d.n_mels)
         self._seg_len = (self.size - 1) * self.hop + self.n_fft
 
-        @jax.jit
-        def mel_segment(seg):
-            power = stft_magsq(seg[None], self.n_fft, self.hop,
-                               self._window, center=False)
-            return power @ self._filters          # (1, size, n_mels)
-
-        self._mel_segment = mel_segment
-
     # -- audio bookkeeping -------------------------------------------------
+    @property
+    def duration(self) -> float:
+        """Seconds of audio pushed so far (what a server bounds to cap the
+        session's memory: the session retains the full stream + all emitted
+        motion until finish())."""
+        return len(self._audio) / self.sr
+
     def _window_ready(self, s: int) -> bool:
         """Window [s, s+size) may run only when (a) the offline frame plan
         would contain it — frame count T = n//hop (drop_last) satisfies

@@ -24,9 +24,13 @@ Any server-side failure answers {"type": "error", "message": ...} and
 closes the connection; other sessions are unaffected.
 
 Concurrency: sessions are independent (per-connection LiveSession state;
-XLA serializes device dispatches).  ``max_sessions`` bounds concurrent
-connections so a misbehaving client pool cannot pile unbounded compile
-work onto the chip.
+XLA serializes device dispatches).  Resource bounds against misbehaving
+clients: ``max_sessions`` caps concurrent connections,
+``max_stream_seconds`` caps per-session memory (a live session retains
+its stream until finish()), and custom window geometries — each one a
+fresh XLA compile — are refused unless the operator opts in with
+``client_geometry`` (and even then the generator cache is bounded by
+``max_cached_geometries``).
 """
 
 from __future__ import annotations
@@ -57,15 +61,26 @@ class MotionServer:
     def __init__(self, cfg, variables, hubert_extractor=None,
                  host: str = "127.0.0.1", port: int = 0,
                  max_sessions: int = 8, max_batch: int = 64,
-                 idle_timeout: float = 600.0, log=print):
+                 idle_timeout: float = 600.0,
+                 client_geometry: bool = False,
+                 max_cached_geometries: int = 8,
+                 max_stream_seconds: float = 3600.0, log=print):
         self.cfg = cfg
         self.variables = variables
         self.hubert_fe = hubert_extractor
         self.max_batch = max_batch
         self.idle_timeout = idle_timeout
+        # Clients may request a custom (window_frames, overlap) only when
+        # the operator opts in: each novel geometry is a full generator
+        # build + multi-second XLA compile, so an open server must not let
+        # the network mint them.
+        self.client_geometry = client_geometry
+        self.max_cached_geometries = max_cached_geometries
+        self.max_stream_seconds = max_stream_seconds
         self.log = log
         self._slots = threading.BoundedSemaphore(max_sessions)
         self._gens: dict = {}              # (window, overlap) -> generator
+        self._pinned: set = set()          # prewarmed keys, never evicted
         self._gens_lock = threading.Lock()
         outer = self
 
@@ -120,12 +135,27 @@ class MotionServer:
                     self.cfg, self.variables, pid, jax.random.PRNGKey(0),
                     window_frames=window_frames, overlap=overlap,
                     hubert_extractor=self.hubert_fe, gen_cache=self._gens)
+                self._pinned.add((s.size, s.overlap))
             frames = s.size + s.step          # two windows' worth
             a16 = (np.zeros(int(np.ceil(frames / s.fps * 16000)), np.float32)
                    if self.hubert_fe is not None else None)
             out = s.push(np.zeros((frames + 1) * s.hop, np.float32), a16)
             self.log(f"[serve] prewarmed batch={b} "
                      f"(window {s.size}, {out.shape[1]} frames traced)")
+
+    def _evict_geometries(self, just_used) -> None:
+        """Bound the generator cache (caller holds ``_gens_lock``).
+
+        Client-minted geometries are evicted FIFO past
+        ``max_cached_geometries``; prewarmed keys and the one just used are
+        kept.  Sessions already running on an evicted generator keep their
+        own reference — eviction only forfeits cache reuse."""
+        keep = self._pinned | {just_used}
+        evictable = [k for k in self._gens if k not in keep]
+        while evictable and len(self._gens) > self.max_cached_geometries:
+            dropped = evictable.pop(0)
+            del self._gens[dropped]
+            self.log(f"[serve] evicted cached geometry {dropped}")
 
     # -- one connection = one session -----------------------------------------
     def _handle(self, sock: socket.socket) -> None:
@@ -196,16 +226,38 @@ class MotionServer:
                 "message": f"{len(speakers)} speakers exceeds the server's "
                            f"max_batch={self.max_batch}"})
             return
+        wf, ov = header.get("window_frames", 0), header.get("overlap", 0)
+        if not all(isinstance(v, int) and not isinstance(v, bool)
+                   and 0 <= v <= 4 * cfg.data.n_poses for v in (wf, ov)):
+            proto.send_frame(sock, {
+                "type": "error",
+                "message": f"window_frames/overlap must be ints in "
+                           f"[0, {4 * cfg.data.n_poses}], got "
+                           f"({wf!r}, {ov!r})"})
+            return
+        if (wf, ov) != (0, 0) and not self.client_geometry:
+            proto.send_frame(sock, {
+                "type": "error",
+                "message": "this server only serves its default window "
+                           "geometry (start with window_frames=0, "
+                           "overlap=0); run it with client_geometry "
+                           "enabled (cli serve --client-geometry) to "
+                           "accept custom windows"})
+            return
         pid = jax.nn.one_hot(np.asarray(speakers), cfg.model.style_dim)
-        with self._gens_lock:
-            session = LiveSession.create(
-                cfg, self.variables, pid,
-                jax.random.PRNGKey(int(header.get("seed", 0))),
-                window_frames=int(header.get("window_frames", 0)),
-                overlap=int(header.get("overlap", 0)),
-                hubert_extractor=self.hubert_fe,
-                gen_cache=self._gens,
-            )
+        try:
+            with self._gens_lock:
+                session = LiveSession.create(
+                    cfg, self.variables, pid,
+                    jax.random.PRNGKey(int(header.get("seed", 0))),
+                    window_frames=wf, overlap=ov,
+                    hubert_extractor=self.hubert_fe,
+                    gen_cache=self._gens,
+                )
+                self._evict_geometries((session.size, session.overlap))
+        except ValueError as e:      # degenerate geometry (step <= 0, ...)
+            proto.send_frame(sock, {"type": "error", "message": str(e)})
+            return
         proto.send_frame(sock, {
             "type": "ready", "batch": len(speakers),
             "channels": int(_channels(cfg)),
@@ -219,6 +271,18 @@ class MotionServer:
             kind = header.get("type")
             if kind == "audio":
                 a, a16 = proto.unpack_audio(header, payload)
+                if (session.duration + a.size / session.sr
+                        > self.max_stream_seconds):
+                    # A session retains its full stream + motion until
+                    # finish(); an unbounded one would grow until the
+                    # daemon OOMs under every other session.
+                    proto.send_frame(sock, {
+                        "type": "error",
+                        "message": f"stream exceeds this server's "
+                                   f"max_stream_seconds="
+                                   f"{self.max_stream_seconds:g}; finish "
+                                   "and start a new session"})
+                    return
                 out = session.push(a, a16)
                 mh, mp = proto.pack_motion(out)
                 proto.send_frame(sock, {"type": "motion", **mh}, mp)

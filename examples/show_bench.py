@@ -36,13 +36,9 @@ def main():
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
 
     cfg = show_config()
-    import os
-    jn = int(os.environ.get("BENCH_JN", "2"))
-    baselines = {2: BASELINE_FPS, 5: BASELINE_FPS_JN5}
-    if jn not in baselines:
-        sys.exit(f"BENCH_JN={jn}: no published A100 baseline for this "
-                 f"jump_n_sample (known: {sorted(baselines)})")
-    baseline = baselines[jn]
+    from diffsheg_tpu.utils.benchcfg import jump_config_baseline
+    jn, baseline = jump_config_baseline({2: BASELINE_FPS,
+                                         5: BASELINE_FPS_JN5})
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=jn))
     cfg = cfg.replace(model=dataclasses.replace(

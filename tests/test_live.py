@@ -206,3 +206,33 @@ class TestReducedWindow:
         sess = LiveSession.create(cfg, variables, pid, jax.random.PRNGKey(12))
         assert sess.size == cfg.data.n_poses
         assert sess.overlap == cfg.stream.overlap_len
+
+    def test_degenerate_geometry_raises(self):
+        """overlap >= window means step <= 0: push() could never advance
+        past its first window — create() must refuse instead of letting a
+        caller (e.g. the serving daemon) spin the device forever."""
+        import pytest
+        cfg, _, pid = _setup(seed=13)
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(13))
+        k = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError, match="never advance"):
+            LiveSession.create(cfg, variables, pid, k,
+                               window_frames=12, overlap=12)
+        with pytest.raises(ValueError, match="step"):
+            LiveSession.create(cfg, variables, pid, k,
+                               overlap=cfg.data.n_poses)
+        with pytest.raises(ValueError, match=">= 0"):
+            LiveSession.create(cfg, variables, pid, k, window_frames=-3)
+
+    def test_mel_frontend_shared_across_sessions(self):
+        """Same STFT geometry -> the SAME jitted mel program object, so a
+        reconnect does not re-trace/compile the mel frontend."""
+        cfg, gen, pid = _setup(seed=14)
+        a = LiveSession(gen, pid, jax.random.PRNGKey(0))
+        b = LiveSession(gen, pid, jax.random.PRNGKey(1))
+        assert a._mel_segment is b._mel_segment
+        assert a._filters is b._filters
+        assert a.duration == 0.0
+        a.push(_audio(cfg, 10, seed=15))
+        assert a.duration > 0 and b.duration == 0.0

@@ -67,7 +67,7 @@ def _client(host, port, retries=100, **start_kw):
 def server():
     cfg, variables = _setup()
     srv = MotionServer(cfg, variables, max_sessions=1,
-                       log=lambda *a: None)
+                       client_geometry=True, log=lambda *a: None)
     srv.start_background()
     yield cfg, variables, srv.address
     srv.shutdown()
@@ -212,7 +212,7 @@ class TestServing:
         WindowGenerator (no per-connection recompile / weight copy)."""
         cfg, variables = _setup()
         srv = MotionServer(cfg, variables, max_sessions=1,
-                           log=lambda *a: None)
+                           client_geometry=True, log=lambda *a: None)
         srv.start_background()
         try:
             host, port = srv.address
@@ -226,6 +226,77 @@ class TestServing:
                 cli.finish()
             assert len(srv._gens) == 2
             assert next(iter(srv._gens.values())) is first
+        finally:
+            srv.shutdown()
+
+
+class TestHardening:
+    def test_client_geometry_refused_by_default(self):
+        """A server NOT opted into client geometry must refuse custom
+        window_frames/overlap — each novel geometry is a fresh XLA
+        compile, so an open server must not let the network mint them."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           log=lambda *a: None)
+        srv.start_background()
+        try:
+            host, port = srv.address
+            with pytest.raises(RuntimeError, match="default window"):
+                _client(host, port, speakers=[0], window_frames=12)
+            # the default geometry still serves
+            with _client(host, port, speakers=[0], seed=0) as cli:
+                assert cli.info["window"] == cfg.data.n_poses
+        finally:
+            srv.shutdown()
+
+    def test_degenerate_geometry_rejected(self, server):
+        """overlap >= window makes the session step <= 0 — push() would
+        spin forever on the device; the server must refuse at start."""
+        _, _, (host, port) = server
+        with pytest.raises(RuntimeError, match="never advance|step"):
+            _client(host, port, speakers=[0], window_frames=12, overlap=12)
+        with pytest.raises(RuntimeError, match="must be ints"):
+            _client(host, port, speakers=[0], window_frames=10 ** 9)
+
+    def test_stream_length_capped(self):
+        """A session retains its full stream until finish(); the server
+        bounds it so one client cannot grow the daemon to OOM."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           max_stream_seconds=0.5, log=lambda *a: None)
+        srv.start_background()
+        try:
+            host, port = srv.address
+            cli = MotionClient(host, port)
+            try:
+                cli.start(speakers=[0])
+                with pytest.raises(RuntimeError,
+                                   match="max_stream_seconds"):
+                    # 1 s of mel-rate audio > the 0.5 s cap
+                    cli.push(np.zeros(cfg.data.mel_sr, np.float32))
+            finally:
+                cli.close()
+        finally:
+            srv.shutdown()
+
+    def test_geometry_cache_bounded(self):
+        """Client-minted geometries must not grow the compile cache without
+        bound; prewarmed keys survive eviction."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           client_geometry=True, max_cached_geometries=2,
+                           log=lambda *a: None)
+        srv.start_background()
+        try:
+            srv.prewarm((1,))
+            pinned_key = next(iter(srv._gens))
+            host, port = srv.address
+            for wf in (10, 12, 14):
+                with _client(host, port, speakers=[0],
+                             window_frames=wf) as cli:
+                    cli.finish()
+            assert len(srv._gens) <= 3       # cap + the one just used
+            assert pinned_key in srv._gens   # prewarmed key never evicted
         finally:
             srv.shutdown()
 
