@@ -80,8 +80,8 @@ class LiveSession:
     @classmethod
     def create(cls, cfg, variables, person_id: jax.Array, rng: jax.Array,
                window_frames: int = 0, overlap: int = 0,
-               hubert_extractor=None, gen_cache: Optional[dict] = None
-               ) -> "LiveSession":
+               hubert_extractor=None, gen_cache: Optional[dict] = None,
+               retain: bool = True) -> "LiveSession":
         """Build a session, optionally at a REDUCED live window size.
 
         The denoiser is window-length-agnostic (attention + per-frame
@@ -104,6 +104,11 @@ class LiveSession:
         session state (RePaint tails, rng) is threaded through arguments —
         so reusing one skips the per-session XLA compile and weight cast.
         The serving daemon passes its per-server cache here.
+
+        ``retain=False`` makes the session bounded-memory for open-ended
+        streams: consumed audio is trimmed, emitted motion is not
+        accumulated, and ``finish()`` returns only the tail frames — see
+        the ``__init__`` notes.  Emitted motion is identical either way.
         """
         import dataclasses as _dc
         if window_frames < 0 or overlap < 0:
@@ -135,10 +140,11 @@ class LiveSession:
             gen = WindowGenerator(cfg, variables)
             if gen_cache is not None:
                 gen_cache[key] = gen
-        return cls(gen, person_id, rng, hubert_extractor=hubert_extractor)
+        return cls(gen, person_id, rng, hubert_extractor=hubert_extractor,
+                   retain=retain)
 
     def __init__(self, gen: WindowGenerator, person_id: jax.Array,
-                 rng: jax.Array, hubert_extractor=None):
+                 rng: jax.Array, hubert_extractor=None, retain: bool = True):
         cfg = gen.cfg
         self.gen = gen
         self.cfg = cfg
@@ -155,9 +161,22 @@ class LiveSession:
         self.n_fft = 2048
         self.fps = d.fps
 
+        # retain=True (default): keep the full stream + every emitted
+        # motion chunk so finish() can return the whole session — memory
+        # grows with stream length.  retain=False: bounded-memory mode for
+        # open-ended sessions — consumed audio is trimmed to the ~2
+        # windows future windows still read, motion is emitted once from
+        # push() and not accumulated, and finish() returns ONLY the tail
+        # frames it drains.  Emitted motion is identical in both modes.
+        # In retain=False mode, keep the 16 kHz stream pushed in step with
+        # the mel-rate stream (trimming assumes aligned clocks).
+        self.retain = retain
         self._audio = np.zeros(0, dtype=np.float32)      # mel-rate samples
         self._audio16 = np.zeros(0, dtype=np.float32)    # 16 kHz samples
+        self._base = 0        # mel-rate samples trimmed (hop-aligned)
+        self._base16 = 0      # 16 kHz samples trimmed
         self._chunks: List[np.ndarray] = []              # emitted motion
+        self._emitted = 0                                # frames emitted
         self._next_start = 0                             # next window start
         self._prev_out: Optional[jax.Array] = None
         self._prev_tails = None                          # same_overlap_noisy
@@ -170,10 +189,33 @@ class LiveSession:
     # -- audio bookkeeping -------------------------------------------------
     @property
     def duration(self) -> float:
-        """Seconds of audio pushed so far (what a server bounds to cap the
-        session's memory: the session retains the full stream + all emitted
-        motion until finish())."""
-        return len(self._audio) / self.sr
+        """Seconds of audio pushed so far (what a server bounds to cap a
+        *retaining* session's memory; a ``retain=False`` session is
+        bounded by construction)."""
+        return (self._base + len(self._audio)) / self.sr
+
+    def _trim(self) -> None:
+        """retain=False: drop audio no future window reads.
+
+        Future regular windows start at ``_next_start``; the finish()
+        left-shifted final window starts at ``T - size`` which is provably
+        > ``_next_start - step``.  So samples before
+        ``(_next_start - step)*hop - pad`` are dead — aligned down to a
+        hop boundary so the trimmed stream's centered-STFT frames stay on
+        the offline frame grid (``_offline_mel``)."""
+        if self.retain:
+            return
+        pad = self.n_fft // 2
+        keep = max(0, (self._next_start - self.step) * self.hop - pad)
+        keep = (keep // self.hop) * self.hop
+        if keep > self._base:
+            self._audio = self._audio[keep - self._base:]
+            self._base = keep
+        if self.hubert_fe is not None:
+            keep16 = int((self._next_start - self.step) / self.fps * 16000)
+            if keep16 > self._base16:
+                self._audio16 = self._audio16[keep16 - self._base16:]
+                self._base16 = keep16
 
     def _window_ready(self, s: int) -> bool:
         """Window [s, s+size) may run only when (a) the offline frame plan
@@ -184,25 +226,29 @@ class LiveSession:
         HuBERT is active, the 16 kHz stream has the window's whole time
         span (the mel gate alone fires ~10 ms early)."""
         end = s + self.size
-        n = len(self._audio)
+        n = self._base + len(self._audio)
         if n // self.hop < end:
             return False
         if n < (end - 1) * self.hop + self.n_fft // 2:
             return False
         if self.hubert_fe is not None:
-            if len(self._audio16) < int(np.ceil(end / self.fps * 16000)):
+            n16 = self._base16 + len(self._audio16)
+            if n16 < int(np.ceil(end / self.fps * 16000)):
                 return False
         return True
 
     def _window_mel(self, s: int) -> jax.Array:
         pad = self.n_fft // 2
-        head = self._audio[1:pad + 1][::-1]       # reflect, librosa-style
         padded_start = s * self.hop
-        lo = padded_start - pad                   # index into raw audio
+        lo = padded_start - pad                   # stream sample index
         if lo < 0:
+            # head reflect, librosa-style (only reachable untrimmed:
+            # _trim keeps everything a future window reads)
+            head = self._audio[1:pad + 1][::-1]
             seg = np.concatenate([head[lo:], self._audio[:lo + self._seg_len]])
         else:
-            seg = self._audio[lo:lo + self._seg_len]
+            assert lo >= self._base, (lo, self._base)
+            seg = self._audio[lo - self._base:lo - self._base + self._seg_len]
         assert len(seg) == self._seg_len, (len(seg), self._seg_len)
         return self._mel_segment(jnp.asarray(seg))
 
@@ -211,20 +257,27 @@ class LiveSession:
             return None
         t0 = s / self.fps
         n = int(self.size / self.fps * 16000)
-        lo = min(int(t0 * 16000), max(0, len(self._audio16) - n))
-        seg = self._audio16[lo:lo + n]
+        n16 = self._base16 + len(self._audio16)
+        lo = min(int(t0 * 16000), max(0, n16 - n))
+        # the max(0, n16-n) fallback can precede the trim point when the
+        # 16k stream lags the mel stream; clamp (end-padded below)
+        lo = max(lo, self._base16)
+        seg = self._audio16[lo - self._base16:lo - self._base16 + n]
         if len(seg) < n:
             seg = np.pad(seg, (0, n - len(seg)))
         return self.hubert_fe(jnp.asarray(seg)[None],
                               target_frames=self.size)
 
-    def _offline_mel(self) -> jax.Array:
-        """Full-clip mel (centered, drop_last), reusing the session's
-        window/filterbank — for the finish() frames whose analysis spans
-        need the sequence-end padding."""
+    def _offline_mel(self):
+        """Centered, drop_last mel of the retained stream, plus the frame
+        index its first frame corresponds to in the full stream (0 when
+        untrimmed; ``_base/hop`` after trimming — ``_base`` is kept
+        hop-aligned so retained frames land exactly on the offline frame
+        grid).  For the finish() frames whose analysis spans need the
+        sequence-end padding."""
         power = stft_magsq(jnp.asarray(self._audio)[None], self.n_fft,
                            self.hop, self._window, center=True)
-        return (power @ self._filters)[:, :-1]
+        return (power @ self._filters)[:, :-1], self._base // self.hop
 
     # -- window machinery --------------------------------------------------
     def _run_window(self, s: int, mel_w: jax.Array, hub_w) -> jax.Array:
@@ -266,11 +319,15 @@ class LiveSession:
             out = self._run_window(s, self._window_mel(s),
                                    self._window_hubert(s))
             emitted.append(np.asarray(out[:, :self.step]))
+            self._emitted += self.step
             self._last_start = s
             self._prev_out = out
             self._next_start = s + self.step
         if emitted:
-            self._chunks.extend(emitted)
+            if self.retain:
+                self._chunks.extend(emitted)
+            else:
+                self._trim()
             return np.concatenate(emitted, axis=1)
         return np.zeros((self.pid.shape[0], 0,
                          denoised_channels(self.cfg.model)),
@@ -278,19 +335,23 @@ class LiveSession:
 
     def finish(self) -> np.ndarray:
         """Drain the tail (left-shifted final window, offline mel for the
-        end-padding-dependent frames) and return the FULL session motion
-        (B, T, C)."""
+        end-padding-dependent frames).  Returns the FULL session motion
+        (B, T, C) when ``retain`` (the default); with ``retain=False``
+        only the tail frames drained here (everything earlier was already
+        returned by ``push``)."""
         assert not self._finished
         self._finished = True
-        T = len(self._audio) // self.hop          # offline frame count
-        done = len(self._chunks) * self.step      # frames emitted so far
+        T = (self._base + len(self._audio)) // self.hop  # offline frames
+        done = self._emitted                   # frames emitted so far
+        tail: List[np.ndarray] = []            # frames drained by finish
         if T > done:
             if self._prev_out is None:
                 # never emitted: short-clip semantics (pad-and-trim); the
                 # session rng passes through unsplit, exactly like the
-                # offline streamer's _short_sequence path
+                # offline streamer's _short_sequence path (stream is
+                # untrimmed here — trimming starts at the first emission)
                 from diffsheg_tpu.sampling.streamer import StreamingGenerator
-                mel_full = self._offline_mel()
+                mel_full, _ = self._offline_mel()
                 B = self.pid.shape[0]
                 mel_b = jnp.broadcast_to(mel_full,
                                          (B,) + mel_full.shape[1:])
@@ -301,20 +362,24 @@ class LiveSession:
                     hub_b = jnp.broadcast_to(hub_w, (B,) + hub_w.shape[1:])
                 out = StreamingGenerator(self.gen).generate(
                     mel_b, self.pid, self.rng, hub_b)
-                self._chunks.append(np.asarray(out[:, :T]))
+                tail.append(np.asarray(out[:, :T]))
             elif T <= self._last_start + self.size:
                 # the already-sampled last window covers through T: emit
                 # its remaining frames (offline's final window emits its
                 # full size, ddpm_beat_trainer.py:1305-1309)
-                self._chunks.append(np.asarray(
+                tail.append(np.asarray(
                     self._prev_out[:, self.step:self.step + (T - done)]))
             else:
                 s = T - self.size                 # left-shifted final window
-                mel_w = self._offline_mel()[:, s:s + self.size]
+                mel, off = self._offline_mel()
+                mel_w = mel[:, s - off:s - off + self.size]
                 out = self._run_window(s, mel_w, self._window_hubert(s))
                 new_from = done - s
-                self._chunks.append(np.asarray(out[:, new_from:]))
-        return np.concatenate(self._chunks, axis=1) if self._chunks \
+                tail.append(np.asarray(out[:, new_from:]))
+        if self.retain:
+            self._chunks.extend(tail)
+            tail = self._chunks
+        return np.concatenate(tail, axis=1) if tail \
             else np.zeros((self.pid.shape[0], 0,
                            denoised_channels(self.cfg.model)),
                           dtype=np.float32)

@@ -11,7 +11,7 @@ size, as the offline sampler — tests/test_live.py).
 Protocol (framing in :mod:`diffsheg_tpu.serving.protocol`):
 
   client -> {"type": "start", "speakers": [1,3], "seed": 0,
-             "window_frames": 0, "overlap": 0}
+             "window_frames": 0, "overlap": 0, "retain": true}
   server -> {"type": "ready", "batch": B, "channels": C,
              "window": n_poses, "fps": fps, "sr": mel_sr,
              "hubert": bool}
@@ -244,6 +244,17 @@ class MotionServer:
                            "enabled (cli serve --client-geometry) to "
                            "accept custom windows"})
             return
+        # retain=False opts a session into bounded-memory streaming:
+        # consumed audio is trimmed, "motion" frames are the only copy
+        # (the final "done" payload carries just the tail), and the
+        # max_stream_seconds cap is waived — memory no longer grows with
+        # stream length, so open-ended sessions are safe.
+        retain = header.get("retain", True)
+        if not isinstance(retain, bool):
+            proto.send_frame(sock, {
+                "type": "error",
+                "message": f"retain must be a bool, got {retain!r}"})
+            return
         pid = jax.nn.one_hot(np.asarray(speakers), cfg.model.style_dim)
         try:
             with self._gens_lock:
@@ -252,7 +263,7 @@ class MotionServer:
                     jax.random.PRNGKey(int(header.get("seed", 0))),
                     window_frames=wf, overlap=ov,
                     hubert_extractor=self.hubert_fe,
-                    gen_cache=self._gens,
+                    gen_cache=self._gens, retain=retain,
                 )
                 self._evict_geometries((session.size, session.overlap))
         except ValueError as e:      # degenerate geometry (step <= 0, ...)
@@ -271,7 +282,8 @@ class MotionServer:
             kind = header.get("type")
             if kind == "audio":
                 a, a16 = proto.unpack_audio(header, payload)
-                if (session.duration + a.size / session.sr
+                if (session.retain
+                        and session.duration + a.size / session.sr
                         > self.max_stream_seconds):
                     # A session retains its full stream + motion until
                     # finish(); an unbounded one would grow until the
@@ -311,10 +323,15 @@ class MotionClient:
         self.info: Optional[dict] = None
 
     def start(self, speakers, seed: int = 0, window_frames: int = 0,
-              overlap: int = 0) -> dict:
+              overlap: int = 0, retain: bool = True) -> dict:
+        """``retain=False`` = bounded-memory open-ended session: the
+        server streams each motion frame exactly once and the final
+        "done" payload carries only the tail (and the server's
+        max_stream_seconds cap is waived)."""
         proto.send_frame(self._sock, {
             "type": "start", "speakers": list(speakers), "seed": seed,
-            "window_frames": window_frames, "overlap": overlap})
+            "window_frames": window_frames, "overlap": overlap,
+            "retain": retain})
         header, _ = proto.recv_frame(self._sock)
         if header.get("type") != "ready":
             raise RuntimeError(f"server refused session: {header}")

@@ -225,6 +225,82 @@ class TestReducedWindow:
         with pytest.raises(ValueError, match=">= 0"):
             LiveSession.create(cfg, variables, pid, k, window_frames=-3)
 
+    def test_unbounded_mode_matches_retaining(self):
+        """retain=False (bounded-memory open-ended sessions) must emit
+        bit-identical motion to the default retaining session while
+        holding only ~2 windows of audio; finish() returns just the
+        tail frames."""
+        cfg, gen, pid = _setup(seed=20)
+        T = 170                               # several windows + odd tail
+        audio = _audio(cfg, T, seed=21)
+        a = LiveSession(gen, pid, jax.random.PRNGKey(9))
+        b = LiveSession(gen, pid, jax.random.PRNGKey(9), retain=False)
+
+        outs_a, outs_b = [], []
+        chunk = len(audio) // 7
+        for i in range(7):
+            c = audio[i * chunk:(i + 1) * chunk]
+            outs_a.append(a.push(c))
+            outs_b.append(b.push(c))
+        outs_a.append(a.push(audio[7 * chunk:]))
+        outs_b.append(b.push(audio[7 * chunk:]))
+        for x, y in zip(outs_a, outs_b):
+            np.testing.assert_array_equal(x, y)
+
+        # bounded: the streaming session holds ~(size+step) frames of
+        # audio, the retaining one the whole stream
+        bound = (b.size + 2 * b.step) * b.hop + b.n_fft
+        assert len(b._audio) <= bound < len(a._audio)
+
+        full = a.finish()
+        tail = b.finish()
+        emitted = sum(o.shape[1] for o in outs_b)
+        assert full.shape == (1, T, cfg.model.motion_dim)
+        np.testing.assert_array_equal(
+            np.concatenate([np.concatenate(outs_b, axis=1), tail], axis=1),
+            full)
+        assert tail.shape[1] == T - emitted
+
+    def test_unbounded_mode_with_hubert(self):
+        """Trimming must keep the 16 kHz stream aligned with the mel
+        stream: a retain=False hubert session == the retaining one."""
+        import dataclasses as dc
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        from diffsheg_tpu.models.hubert import HubertConfig
+        cfg = beat_config()
+        cfg = cfg.replace(model=dc.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=True, hubert_dim=32, hubert_latent_dim=16))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(23))
+        gen = WindowGenerator(cfg, variables)
+        pid = jax.nn.one_hot(jnp.array([1]), cfg.model.style_dim)
+        hub_fe = HubertFeatureExtractor(HubertConfig(
+            hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, conv_dim=(16,) * 7))
+        T = 110
+        audio = _audio(cfg, T, seed=24)
+        n16 = int(T / cfg.data.fps * 16000)
+        audio16 = (np.random.RandomState(25).randn(n16) * .1
+                   ).astype(np.float32)
+        a = LiveSession(gen, pid, jax.random.PRNGKey(26),
+                        hubert_extractor=hub_fe)
+        b = LiveSession(gen, pid, jax.random.PRNGKey(26),
+                        hubert_extractor=hub_fe, retain=False)
+        outs_a, outs_b = [], []
+        for i in range(3):
+            sl = slice(i * len(audio) // 3, (i + 1) * len(audio) // 3)
+            sl16 = slice(i * n16 // 3, (i + 1) * n16 // 3)
+            outs_a.append(a.push(audio[sl], audio16[sl16]))
+            outs_b.append(b.push(audio[sl], audio16[sl16]))
+        for x, y in zip(outs_a, outs_b):
+            np.testing.assert_array_equal(x, y)
+        full, tail = a.finish(), b.finish()
+        np.testing.assert_array_equal(
+            np.concatenate([np.concatenate(outs_b, axis=1), tail], axis=1),
+            full)
+        assert len(b._audio16) < len(a._audio16)
+
     def test_mel_frontend_shared_across_sessions(self):
         """Same STFT geometry -> the SAME jitted mel program object, so a
         reconnect does not re-trace/compile the mel frontend."""

@@ -279,6 +279,38 @@ class TestHardening:
         finally:
             srv.shutdown()
 
+    def test_unbounded_session_waives_stream_cap(self):
+        """retain=False sessions are bounded-memory by construction, so
+        the max_stream_seconds cap must not apply — and 'done' carries
+        only the tail frames (everything else was already streamed)."""
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           max_stream_seconds=2.0, log=lambda *a: None)
+        srv.start_background()
+        try:
+            host, port = srv.address
+            T = 70
+            audio = _audio(cfg, T, seed=11)     # 70 frames ≈ 4.7 s > cap
+
+            pid = jax.nn.one_hot(jnp.array([2]), cfg.model.style_dim)
+            oracle = LiveSession.create(cfg, variables, pid,
+                                        jax.random.PRNGKey(5))
+            oracle.push(audio)
+            want = oracle.finish()
+
+            with _client(host, port, speakers=[2], seed=5,
+                         retain=False) as cli:
+                parts = [cli.push(audio[i * len(audio) // 4:
+                                        (i + 1) * len(audio) // 4])
+                         for i in range(4)]
+                tail = cli.finish()
+            got = np.concatenate(parts + [tail], axis=1)
+            np.testing.assert_array_equal(got, want)
+            emitted = sum(p.shape[1] for p in parts)
+            assert tail.shape[1] == T - emitted < T
+        finally:
+            srv.shutdown()
+
     def test_geometry_cache_bounded(self):
         """Client-minted geometries must not grow the compile cache without
         bound; prewarmed keys survive eviction."""
