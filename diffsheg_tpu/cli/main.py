@@ -382,6 +382,17 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnostics: versions, device reachability (bounded —
+    a dead remote-attach tunnel otherwise hangs forever), dispatch
+    latency, Pallas/Mosaic availability, the native data plane build,
+    and the persistent compile cache."""
+    from diffsheg_tpu.cli.doctor import run_doctor
+
+    return run_doctor(device_timeout=args.device_timeout,
+                      platform=args.platform or "")
+
+
 def cmd_view(args) -> int:
     """Write the self-contained HTML player for an exported BVH (+ face
     JSON) — the reference's vendored pymo mocap web player
@@ -526,6 +537,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-session audio cap (a live session retains "
                          "its stream until finish; this bounds its memory)")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser(
+        "doctor", help="check the environment: devices (bounded probe), "
+                       "dispatch latency, pallas, native data plane, "
+                       "compile cache")
+    sp.add_argument("--platform", choices=["tpu", "cpu"],
+                    help="force a jax platform before probing")
+    sp.add_argument("--device-timeout", type=float, default=20.0,
+                    help="seconds to wait for device enumeration before "
+                         "declaring the backend unreachable")
+    sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser(
         "view", help="self-contained HTML motion player for an exported BVH")
