@@ -375,9 +375,18 @@ def cmd_serve(args) -> int:
             raise SystemExit(f"--prewarm {args.prewarm!r}: expected "
                              "comma-separated batch sizes, e.g. 1,2,4")
         server.prewarm(sizes)
+    # SIGTERM (systemd/container stop) drains like Ctrl-C: stop accepting,
+    # close the listener, let in-flight handler threads finish their frame
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
+        print("[serve] shutting down")
         server.shutdown()
     return 0
 
