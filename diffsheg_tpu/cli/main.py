@@ -376,7 +376,8 @@ def cmd_serve(args) -> int:
                              "comma-separated batch sizes, e.g. 1,2,4")
         server.prewarm(sizes)
     # SIGTERM (systemd/container stop) drains like Ctrl-C: stop accepting,
-    # close the listener, let in-flight handler threads finish their frame
+    # wait shutdown()'s bounded grace for in-flight sessions (handler
+    # threads are daemons and would otherwise die mid-frame), then close
     import signal
 
     def _term(signum, frame):

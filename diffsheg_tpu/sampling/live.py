@@ -191,8 +191,17 @@ class LiveSession:
     def duration(self) -> float:
         """Seconds of audio pushed so far (what a server bounds to cap a
         *retaining* session's memory; a ``retain=False`` session is
-        bounded by construction)."""
+        bounded by construction — see ``buffered_seconds``)."""
         return (self._base + len(self._audio)) / self.sr
+
+    @property
+    def buffered_seconds(self) -> float:
+        """Seconds of audio currently HELD: the unconsumed backlog.  In
+        retain=False mode this stays ~2 windows while windows run, but
+        grows when they stall (e.g. the 16 kHz stream lagging the mel
+        stream) — the quantity a server bounds for that mode."""
+        return max(len(self._audio) / self.sr,
+                   len(self._audio16) / 16000.0)
 
     def _trim(self) -> None:
         """retain=False: drop audio no future window reads.
@@ -308,7 +317,10 @@ class LiveSession:
         assert not self._finished, "session already finished"
         self._audio = np.concatenate(
             [self._audio, np.asarray(samples, dtype=np.float32).ravel()])
-        if samples_16k is not None:
+        if samples_16k is not None and self.hubert_fe is not None:
+            # without a hubert extractor the 16 kHz stream is never read —
+            # dropping it keeps retain=False sessions bounded even when a
+            # hubert-oriented client sends both streams
             self._audio16 = np.concatenate(
                 [self._audio16,
                  np.asarray(samples_16k, dtype=np.float32).ravel()])
@@ -342,8 +354,29 @@ class LiveSession:
         assert not self._finished
         self._finished = True
         T = (self._base + len(self._audio)) // self.hop  # offline frames
-        done = self._emitted                   # frames emitted so far
         tail: List[np.ndarray] = []            # frames drained by finish
+        if self._prev_out is not None:
+            # The live gates can stall windows behind the 16 kHz stream
+            # (or, at hop < n_fft/2, behind the analysis-span gate) while
+            # mel frames keep accumulating.  The offline plan runs EVERY
+            # window whose span lies in T (streamer.window_starts), so
+            # drain them here with the end-padded offline mel — the
+            # final-window logic below assumes at most one step of gap
+            # (its gt_head slice truncates silently past that).
+            mel = off = None
+            while T >= self._next_start + self.size:
+                if mel is None:
+                    mel, off = self._offline_mel()
+                s = self._next_start
+                out = self._run_window(
+                    s, mel[:, s - off:s - off + self.size],
+                    self._window_hubert(s))
+                tail.append(np.asarray(out[:, :self.step]))
+                self._emitted += self.step
+                self._last_start = s
+                self._prev_out = out
+                self._next_start = s + self.step
+        done = self._emitted                   # frames emitted so far
         if T > done:
             if self._prev_out is None:
                 # never emitted: short-clip semantics (pad-and-trim); the

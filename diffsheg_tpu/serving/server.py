@@ -38,6 +38,7 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -79,6 +80,8 @@ class MotionServer:
         self.max_stream_seconds = max_stream_seconds
         self.log = log
         self._slots = threading.BoundedSemaphore(max_sessions)
+        self._active = 0                   # live handler threads
+        self._active_lock = threading.Lock()
         self._gens: dict = {}              # (window, overlap) -> generator
         self._pinned: set = set()          # prewarmed keys, never evicted
         self._gens_lock = threading.Lock()
@@ -109,8 +112,21 @@ class MotionServer:
         t.start()
         return t
 
-    def shutdown(self):
+    def shutdown(self, drain_seconds: float = 5.0):
+        """Stop accepting, then give in-flight sessions a bounded grace
+        period (handler threads are daemons — without the wait they die
+        mid-frame at process exit)."""
         self._server.shutdown()
+        deadline = time.monotonic() + drain_seconds
+        while time.monotonic() < deadline:
+            with self._active_lock:
+                if self._active == 0:
+                    break
+            time.sleep(0.05)
+        with self._active_lock:
+            if self._active:
+                self.log(f"[serve] {self._active} session(s) still active "
+                         f"after {drain_seconds:g}s grace, closing anyway")
         self._server.server_close()
 
     def prewarm(self, batch_sizes=(1,), window_frames: int = 0,
@@ -176,6 +192,8 @@ class MotionServer:
             except OSError:
                 pass
             return
+        with self._active_lock:
+            self._active += 1
         try:
             sock.settimeout(self.idle_timeout)
             self._session_loop(sock)
@@ -197,6 +215,8 @@ class MotionServer:
                 pass
             self.log(f"[serve] session failed: {type(e).__name__}: {e}")
         finally:
+            with self._active_lock:
+                self._active -= 1
             self._slots.release()
 
     def _session_loop(self, sock: socket.socket) -> None:
@@ -282,18 +302,37 @@ class MotionServer:
             kind = header.get("type")
             if kind == "audio":
                 a, a16 = proto.unpack_audio(header, payload)
-                if (session.retain
-                        and session.duration + a.size / session.sr
-                        > self.max_stream_seconds):
-                    # A session retains its full stream + motion until
-                    # finish(); an unbounded one would grow until the
-                    # daemon OOMs under every other session.
-                    proto.send_frame(sock, {
-                        "type": "error",
-                        "message": f"stream exceeds this server's "
-                                   f"max_stream_seconds="
-                                   f"{self.max_stream_seconds:g}; finish "
-                                   "and start a new session"})
+                secs = a.size / session.sr
+                if session.retain:
+                    # a retaining session holds its full stream + motion
+                    # until finish(); an unbounded one would grow until
+                    # the daemon OOMs under every other session
+                    over = (session.duration + secs
+                            > self.max_stream_seconds)
+                    why = (f"stream exceeds this server's "
+                           f"max_stream_seconds="
+                           f"{self.max_stream_seconds:g}; finish and "
+                           "start a new session (or start with "
+                           '"retain": false for open-ended streaming)')
+                else:
+                    # retain=False is bounded only while windows actually
+                    # consume the audio; a stalled session (e.g. mel
+                    # pushed without its 16 kHz stream) accumulates
+                    # backlog instead — bound that, on top of the ~2
+                    # windows a healthy session legitimately buffers
+                    allowance = ((session.size + 2 * session.step)
+                                 / self.cfg.data.fps
+                                 + self.max_stream_seconds)
+                    over = session.buffered_seconds + secs > allowance
+                    why = (f"unconsumed audio backlog exceeds "
+                           f"{allowance:.0f}s (live window buffer + "
+                           f"max_stream_seconds="
+                           f"{self.max_stream_seconds:g}) — the session "
+                           "is stalled (16 kHz stream lagging the "
+                           "mel-rate stream?)")
+                if over:
+                    proto.send_frame(sock, {"type": "error",
+                                            "message": why})
                     return
                 out = session.push(a, a16)
                 mh, mp = proto.pack_motion(out)

@@ -301,6 +301,89 @@ class TestReducedWindow:
             full)
         assert len(b._audio16) < len(a._audio16)
 
+    def test_finish_drains_windows_stalled_by_hubert_gate(self):
+        """Push all mel-rate audio but a lagging 16 kHz stream: windows
+        stall behind the hubert gate while mel frames accumulate.
+        finish() must drain every stalled window per the offline plan
+        (regression: the final-window gt_head slice silently truncated
+        when the gap exceeded one step, feeding the generator a
+        wrong-shaped overlap)."""
+        import dataclasses as dc
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        from diffsheg_tpu.models.hubert import HubertConfig
+        cfg = beat_config()
+        cfg = cfg.replace(model=dc.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=True, hubert_dim=32, hubert_latent_dim=16))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(30))
+        gen = WindowGenerator(cfg, variables)
+        pid = jax.nn.one_hot(jnp.array([0]), cfg.model.style_dim)
+        hub_fe = HubertFeatureExtractor(HubertConfig(
+            hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, conv_dim=(16,) * 7))
+        live = LiveSession(gen, pid, jax.random.PRNGKey(31),
+                           hubert_extractor=hub_fe)
+        T = 130                              # ~4 windows
+        audio = _audio(cfg, T, seed=32)
+        n16 = int(T / cfg.data.fps * 16000)
+        audio16 = (np.random.RandomState(33).randn(n16) * .1
+                   ).astype(np.float32)
+        # full mel stream, but 16 kHz only covers the first window:
+        # exactly one window emits, then > one step of frames stalls
+        out = live.push(audio, audio16[:int(40 / cfg.data.fps * 16000)])
+        assert out.shape[1] == live.step     # one window emitted
+        got = live.finish()
+        assert got.shape == (1, T, cfg.model.motion_dim)
+        assert np.isfinite(got).all()
+
+    def test_finish_drains_windows_stalled_by_span_gate(self):
+        """At hop < n_fft/2 (the SHOW geometry) the analysis-span gate
+        can hold the last regular window even though its frames exist;
+        the drained finish must equal the offline streamer exactly."""
+        import dataclasses as dc
+        cfg = beat_config()
+        cfg = cfg.replace(
+            model=dc.replace(cfg.model, latent_dim=32, num_layers=1,
+                             num_heads=2, ff_size=64, add_hubert=False),
+            data=dc.replace(cfg.data, mel_sr=9000, mel_hop=600))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(34))
+        gen = WindowGenerator(cfg, variables)
+        pid = jax.nn.one_hot(jnp.array([1]), cfg.model.style_dim)
+        rng = jax.random.PRNGKey(35)
+        # n puts frame count at exactly 2 windows' span but leaves the
+        # second window short of its last frame's analysis span
+        # ((end-1)*hop + n_fft/2 = end*hop + 424 at hop 600)
+        T = 64                                # 34 + step 30
+        n = T * 600 + 100                     # < T*600 + 424 -> stalls
+        audio = (np.random.RandomState(36).randn(n) * 0.1
+                 ).astype(np.float32)
+
+        live = LiveSession(gen, pid, rng)
+        live.push(audio)
+        assert live._next_start == live.step  # second window stalled
+        got = live.finish()
+
+        fe = MelFrontend(sr=cfg.data.mel_sr, n_fft=2048,
+                         hop=cfg.data.mel_hop, n_mels=cfg.data.n_mels)
+        mel = fe(jnp.asarray(audio)[None])
+        offline = np.asarray(
+            StreamingGenerator(gen).generate(mel, pid, rng))
+        assert got.shape == offline.shape == (1, T, cfg.model.motion_dim)
+        np.testing.assert_allclose(got, offline, atol=5e-2, rtol=1e-3)
+
+    def test_non_hubert_session_drops_16k_stream(self):
+        """A hubert-oriented client may send both streams; without an
+        extractor the 16 kHz audio is never read, so it must not
+        accumulate (retain=False memory bound)."""
+        cfg, gen, pid = _setup(seed=40)
+        live = LiveSession(gen, pid, jax.random.PRNGKey(41), retain=False)
+        live.push(_audio(cfg, 40, seed=42),
+                  np.zeros(40 * 16000 // 15, np.float32))
+        assert len(live._audio16) == 0
+        assert live.buffered_seconds <= 40 / cfg.data.fps + 1e-6
+
     def test_mel_frontend_shared_across_sessions(self):
         """Same STFT geometry -> the SAME jitted mel program object, so a
         reconnect does not re-trace/compile the mel frontend."""

@@ -311,6 +311,70 @@ class TestHardening:
         finally:
             srv.shutdown()
 
+    def test_stalled_unbounded_session_backlog_capped(self):
+        """retain=False is only bounded while windows consume the audio; a
+        session stalled behind the 16 kHz gate (mel pushed, no 16 kHz)
+        accumulates backlog — the server must bound that instead of
+        letting the waived cap become an OOM vector."""
+        import dataclasses
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        from diffsheg_tpu.models.hubert import HubertConfig
+        from diffsheg_tpu.models.unidiffuser import init_unidiffuser
+
+        cfg = beat_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=True, hubert_dim=32, hubert_latent_dim=16))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(1))
+        hub_fe = HubertFeatureExtractor(HubertConfig(
+            hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, conv_dim=(16,) * 7))
+        srv = MotionServer(cfg, variables, hubert_extractor=hub_fe,
+                           max_sessions=1, max_stream_seconds=3.0,
+                           log=lambda *a: None)
+        srv.start_background()
+        try:
+            host, port = srv.address
+            cli = MotionClient(host, port)
+            try:
+                cli.start(speakers=[0], retain=False)
+                with pytest.raises(RuntimeError, match="backlog"):
+                    # allowance = ~2 windows (6.3 s) + cap (3 s); 12 s of
+                    # mel with no 16 kHz must trip it
+                    for _ in range(12):
+                        cli.push(np.zeros(cfg.data.mel_sr, np.float32))
+            finally:
+                cli.close()
+        finally:
+            srv.shutdown(drain_seconds=0.1)
+
+    def test_shutdown_waits_for_active_sessions(self):
+        """shutdown() gives in-flight sessions a bounded grace period
+        (handler threads are daemons — an immediate close would kill them
+        mid-frame at process exit) and returns once they finish or the
+        deadline passes."""
+        import time as _time
+        cfg, variables = _setup()
+        srv = MotionServer(cfg, variables, max_sessions=1,
+                           log=lambda *a: None)
+        srv.start_background()
+        sock = _open_session(srv.address[0], srv.address[1])
+        try:
+            t0 = _time.monotonic()
+            srv.shutdown(drain_seconds=0.4)   # session held open -> grace
+            waited = _time.monotonic() - t0
+            assert 0.35 <= waited < 5.0
+        finally:
+            sock.close()
+        # with no sessions the grace period is skipped
+        srv2 = MotionServer(cfg, variables, max_sessions=1,
+                            log=lambda *a: None)
+        srv2.start_background()
+        t0 = _time.monotonic()
+        srv2.shutdown(drain_seconds=2.0)
+        assert _time.monotonic() - t0 < 1.0
+
     def test_geometry_cache_bounded(self):
         """Client-minted geometries must not grow the compile cache without
         bound; prewarmed keys survive eviction."""
