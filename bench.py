@@ -86,6 +86,13 @@ def check():
     plain32 = run(variant("float32", fast=False), no_pallas=True)
     fast32 = run(variant("float32", fast=True))
     fast16 = run(variant("bfloat16", fast=True))
+    # int8 weight-only serving (diffusion.quantize): approximate by design;
+    # asserted against its measured on-device band so a Mosaic regression
+    # on the int8 kernel path still fails loudly
+    int8cfg = variant("bfloat16", fast=True)
+    int8cfg = int8cfg.replace(diffusion=dataclasses.replace(
+        int8cfg.diffusion, quantize="int8"))
+    fast8 = run(int8cfg)
 
     def rel_rms(a, b):
         return float(np.sqrt(((a - b) ** 2).mean()) /
@@ -93,16 +100,19 @@ def check():
 
     r32 = rel_rms(fast32, plain32)
     r16 = rel_rms(fast16, plain32)
-    ok = r32 < 5e-3 and r16 < 2.5e-2
+    r8 = rel_rms(fast8, plain32)
+    ok = r32 < 5e-3 and r16 < 2.5e-2 and r8 < 1e-1
     print(f"check[{jax.default_backend()}]: "
           f"f32 fast-vs-plain rel_rms={r32:.2e} (tol 5e-3)  "
-          f"bf16 fast-vs-plain rel_rms={r16:.2e} (tol 2.5e-2)",
+          f"bf16 fast-vs-plain rel_rms={r16:.2e} (tol 2.5e-2)  "
+          f"int8 fast-vs-plain rel_rms={r8:.2e} (tol 1e-1)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "fastpath_rel_rms",
         "value": round(r32, 6),
         "unit": "rel_rms_f32",
         "bf16_rel_rms": round(r16, 6),
+        "int8_rel_rms": round(r8, 6),
         "backend": jax.default_backend(),
         "ok": ok,
     }))
@@ -133,7 +143,11 @@ def main():
     cfg = beat_config()
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=jn,
-        fused_step=os.environ.get("BENCH_FUSED_STEP", "auto")))
+        fused_step=os.environ.get("BENCH_FUSED_STEP", "auto"),
+        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "auto"),
+        # BENCH_QUANT=int8: weight-only int8 serving (approximate —
+        # quality drift measured by --check; PERF.md)
+        quantize=os.environ.get("BENCH_QUANT", "none")))
     # TPU serving configuration: bfloat16 weights + compute in the sampler
     # (MXU-native; measured 1.47x over f32 with ~0.4% relative output RMS
     # deviation — see examples/perf_probe.py).  The frontend stays f32.
@@ -216,8 +230,10 @@ def main():
     print(f"fused pipeline (best of {len(totals)}): "
           f"total={totals[best]:.3f}s frames={frames}", file=sys.stderr)
 
+    quant = os.environ.get("BENCH_QUANT", "none")
     print(json.dumps({
-        "metric": "beat_generation_fps" + (f"_jn{jn}" if jn != 2 else ""),
+        "metric": "beat_generation_fps" + (f"_jn{jn}" if jn != 2 else "")
+        + (f"_{quant}" if quant != "none" else ""),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),

@@ -30,8 +30,10 @@ from diffsheg_tpu.config import ModelConfig
 from diffsheg_tpu.models.embeddings import positional_encoding
 from diffsheg_tpu.models.level_cache import (BranchCache, ModelCache,
                                              supports_level_cache)
-from diffsheg_tpu.ops.fused_layer import (LayerParams, extract_layer_params,
+from diffsheg_tpu.ops.fused_layer import (LayerParams, LayerScales,
+                                          extract_layer_params,
                                           fused_branch, fused_layer,
+                                          quantize_layer_params,
                                           stack_layer_params)
 
 
@@ -54,6 +56,7 @@ class BranchFast(NamedTuple):
     pe: jax.Array                        # (T, L)
     layers: LayerParams                  # stacked: leading (num_layers,) axis
     null_cond_emb: Optional[jax.Array]   # (1, c_real)
+    scales: Optional[LayerScales] = None  # int8 layers' dequant scales
 
 
 class FastParams(NamedTuple):
@@ -75,7 +78,7 @@ def _branch_widths(cfg: ModelConfig, has_hubert: bool,
 
 
 def _extract_branch(cfg: ModelConfig, p, T: int, c_real: int, c_pad: int,
-                    dtype) -> BranchFast:
+                    dtype, quant: str = "none") -> BranchFast:
     if cfg.pe_type == "learnable":
         pe = jnp.asarray(p["sequence_embedding"][:T], dtype=dtype)
     else:
@@ -86,26 +89,37 @@ def _extract_branch(cfg: ModelConfig, p, T: int, c_real: int, c_pad: int,
                 else cfg.pe_type,
                 T, cfg.latent_dim, cfg.max_seq_len),
             dtype=dtype)
+    layers = stack_layer_params([
+        extract_layer_params(p[f"layer_{i}"], c_real, c_pad, dtype)
+        for i in range(cfg.num_layers)])
+    scales = None
+    if quant == "int8":
+        # weight-only per-output-channel int8 (ops/fused_layer.py): halves
+        # the transformer-stack HBM weight traffic per denoise step; the
+        # small tensors (joint/out/pe/norms/biases) stay in ``dtype``
+        layers, scales = quantize_layer_params(layers)
     return BranchFast(
         joint_k=jnp.asarray(p["joint_embed"]["kernel"], dtype=dtype),
         joint_b=jnp.asarray(p["joint_embed"]["bias"], dtype=dtype),
         out_k=jnp.asarray(p["out"]["kernel"], dtype=dtype),
         out_b=jnp.asarray(p["out"]["bias"], dtype=dtype),
         pe=pe,
-        layers=stack_layer_params([
-            extract_layer_params(p[f"layer_{i}"], c_real, c_pad, dtype)
-            for i in range(cfg.num_layers)]),
+        layers=layers,
         null_cond_emb=(jnp.asarray(p["null_cond_emb"], dtype=dtype)
                        if "null_cond_emb" in p else None),
+        scales=scales,
     )
 
 
 def extract_fast_params(cfg: ModelConfig, variables: Dict[str, Any],
-                        T: int, has_hubert: bool) -> FastParams:
+                        T: int, has_hubert: bool,
+                        quant: str = "none") -> FastParams:
     """Variables tree -> kernel-ready weights for both branches.
 
     Traced; call OUTSIDE the sampler scan so padding/casting is
-    loop-invariant and paid once.
+    loop-invariant and paid once.  ``quant='int8'`` stores the
+    transformer-stack weight matrices as per-channel int8
+    (diffusion.quantize knob).
     """
     dtype = jnp.dtype(cfg.compute_dtype)
     params = variables["params"]
@@ -113,9 +127,9 @@ def extract_fast_params(cfg: ModelConfig, variables: Dict[str, Any],
     cg_real, cg_pad = _branch_widths(cfg, has_hubert, cfg.expression_dim)
     return FastParams(
         exp=_extract_branch(cfg, params["encoder_exp"], T, ce_real, ce_pad,
-                            dtype),
+                            dtype, quant),
         ges=_extract_branch(cfg, params["encoder_ges"], T, cg_real, cg_pad,
-                            dtype),
+                            dtype, quant),
     )
 
 
@@ -165,13 +179,16 @@ def _branch_forward(cfg: ModelConfig, bp: BranchFast, x: jax.Array,
         cond_pad = jnp.pad(cond, ((0, 0), (0, 0), (0, c_pad - c_real)))
         h = fused_branch(h.astype(compute), cond_pad, mods, bp.layers,
                          cfg.num_heads, c_real, null_emb=null_emb,
-                         null_mask=null_mask, interpret=interpret)
+                         null_mask=null_mask, ssc=bp.scales,
+                         interpret=interpret)
     else:
         n_layers = bp.layers.fp_fc1_k.shape[0]
         if null_mask is not None:
             null_rows = null_mask[:, None, None] > 0
         for i in range(n_layers):
             lp = LayerParams(*(f[i] for f in bp.layers))
+            sc = (None if bp.scales is None
+                  else LayerScales(*(f[i] for f in bp.scales)))
             feats = jnp.concatenate([h.astype(compute), cond], axis=-1)
             if null_mask is not None:
                 null = jnp.broadcast_to(
@@ -185,7 +202,7 @@ def _branch_forward(cfg: ModelConfig, bp: BranchFast, x: jax.Array,
                                 ((0, 0), (0, 0), (0, c_pad - c_real)))
             h = fused_layer(h.astype(compute), feats, mods[i, 0],
                             mods[i, 1], lp, cfg.num_heads, c_real,
-                            interpret=interpret)
+                            sc=sc, interpret=interpret)
 
     out = (jnp.dot(h.astype(compute), bp.out_k) + bp.out_b) \
         .astype(jnp.float32)

@@ -31,7 +31,7 @@ tests/test_fast_forward.py.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -100,6 +100,45 @@ class LayerParams(NamedTuple):
     ffn_out_b: jax.Array
 
 
+class LayerScales(NamedTuple):
+    """Per-output-channel dequantization scales for the int8 weight path.
+
+    One f32 vector per weight matrix in ``LayerParams`` (same field names;
+    ``(out,)`` per layer, ``(n, out)`` stacked).  With symmetric per-column
+    quantization ``w ~= q * s[None, :]`` the matmul dequantizes on the
+    *output*: ``a @ (q * s) == (a @ q) * s`` — exact algebra, so the kernel
+    multiplies the accumulated f32 result by ``s`` instead of materialising
+    a dequantized weight copy.  Streaming int8 instead of bf16 halves the
+    per-step HBM weight traffic the sampler is partly bound by (PERF.md).
+    """
+
+    fp_fc1_k: jax.Array
+    fp_fc2_k: jax.Array
+    q_k: jax.Array
+    k_k: jax.Array
+    v_k: jax.Array
+    sa_out_k: jax.Array
+    ffn_l1_k: jax.Array
+    ffn_l2_k: jax.Array
+    ffn_out_k: jax.Array
+
+
+def quantize_layer_params(lp: LayerParams):
+    """Symmetric per-output-channel int8 quantization of every weight
+    matrix; vectors (norms, biases) keep their dtype.  Works on one
+    layer's params or the stacked form (reduction is over the
+    contraction axis, ``-2``).  Returns ``(lp_int8, LayerScales)``."""
+    qs = {}
+    scales = []
+    for name in LayerScales._fields:
+        w = getattr(lp, name).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+        s = jnp.maximum(amax, 1e-30) / 127.0
+        qs[name] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        scales.append(jnp.squeeze(s, axis=-2))
+    return lp._replace(**qs), LayerScales(*scales)
+
+
 def extract_layer_params(p, c_real: int, c_pad: int, dtype) -> LayerParams:
     """Flax param subtree of one DiffusionTransformerLayer -> LayerParams.
 
@@ -145,20 +184,29 @@ def extract_layer_params(p, c_real: int, c_pad: int, dtype) -> LayerParams:
 
 
 def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
-                num_heads: int, c_real: int, cdtype):
+                num_heads: int, c_real: int, cdtype, sc=None):
     """The whole layer in f32 activations / ``cdtype`` matmul inputs.
 
     Shared verbatim by the Pallas kernel body (on (T, .) VMEM tiles) and the
     jnp reference (vmapped over batch) — one source of truth for the math.
+    With ``sc`` (LayerScales) the weight matrices are int8 and each matmul
+    dequantizes its f32 accumulator by the per-column scale.
     """
     f32 = jnp.float32
     T, L = x.shape
 
-    def mm(a, w, b):
+    def mm(a, w, b, s=None):
+        if s is not None:
+            w = w.astype(cdtype)
         y = jax.lax.dot_general(
             a.astype(cdtype), w, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
+        if s is not None:
+            y = y * s.astype(f32)
         return y + b.astype(f32)
+
+    def q(name):
+        return getattr(sc, name) if sc is not None else None
 
     def ln(h, scale, bias):
         mu = jnp.mean(h, axis=-1, keepdims=True)
@@ -179,20 +227,20 @@ def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
     var = jnp.sum(((feats - mu) ** 2) * valid, axis=-1, keepdims=True) / c_real
     nf = ((feats - mu) * jax.lax.rsqrt(var + LN_EPS)
           * lp.fp_norm_scale.astype(f32) + lp.fp_norm_bias.astype(f32))
-    a1 = jax.nn.silu(mm(nf, lp.fp_fc1_k, lp.fp_fc1_b))
-    x1 = mm(a1, lp.fp_fc2_k, lp.fp_fc2_b) + x
+    a1 = jax.nn.silu(mm(nf, lp.fp_fc1_k, lp.fp_fc1_b, q("fp_fc1_k")))
+    x1 = mm(a1, lp.fp_fc2_k, lp.fp_fc2_b, q("fp_fc2_k")) + x
 
     # --- linear self-attention (all-ones mask) ----------------------------
     n1 = ln(x1, lp.sa_norm_scale, lp.sa_norm_bias)
-    q = mm(n1, lp.q_k, lp.q_b)
-    k = mm(n1, lp.k_k, lp.k_b)
-    v = mm(n1, lp.v_k, lp.v_b)
+    qq = mm(n1, lp.q_k, lp.q_b, q("q_k"))
+    kk = mm(n1, lp.k_k, lp.k_b, q("k_k"))
+    v = mm(n1, lp.v_k, lp.v_b, q("v_k"))
     hd = L // num_heads
     heads = []
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = jax.nn.softmax(q[:, sl], axis=-1)
-        kh = jax.nn.softmax(k[:, sl], axis=0)
+        qh = jax.nn.softmax(qq[:, sl], axis=-1)
+        kh = jax.nn.softmax(kk[:, sl], axis=0)
         ctx = jax.lax.dot_general(
             kh.astype(cdtype), v[:, sl].astype(cdtype),
             (((0,), (0,)), ((), ())), preferred_element_type=f32)
@@ -205,24 +253,25 @@ def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
     scale_sa, shift_sa = jnp.split(mod_sa.astype(f32), 2)
     z = ln(y, lp.sa_so_norm_scale, lp.sa_so_norm_bias)
     z = jax.nn.silu(z * (1.0 + scale_sa[None]) + shift_sa[None])
-    x2 = x1 + mm(z, lp.sa_out_k, lp.sa_out_b)
+    x2 = x1 + mm(z, lp.sa_out_k, lp.sa_out_b, q("sa_out_k"))
 
     # --- FFN ---------------------------------------------------------------
-    f = _gelu_exact(mm(x2, lp.ffn_l1_k, lp.ffn_l1_b))
-    g = mm(f, lp.ffn_l2_k, lp.ffn_l2_b)
+    f = _gelu_exact(mm(x2, lp.ffn_l1_k, lp.ffn_l1_b, q("ffn_l1_k")))
+    g = mm(f, lp.ffn_l2_k, lp.ffn_l2_b, q("ffn_l2_k"))
     scale_f, shift_f = jnp.split(mod_ffn.astype(f32), 2)
     z2 = ln(g, lp.ffn_so_norm_scale, lp.ffn_so_norm_bias)
     z2 = jax.nn.silu(z2 * (1.0 + scale_f[None]) + shift_f[None])
-    return x2 + mm(z2, lp.ffn_out_k, lp.ffn_out_b)
+    return x2 + mm(z2, lp.ffn_out_k, lp.ffn_out_b, q("ffn_out_k"))
 
 
 def fused_layer_reference(x, feats, mod_sa, mod_ffn, lp: LayerParams,
-                          num_heads: int, c_real: int) -> jax.Array:
+                          num_heads: int, c_real: int,
+                          sc: Optional[LayerScales] = None) -> jax.Array:
     """jnp oracle: same math, vmapped over batch."""
-    cdtype = lp.q_k.dtype
+    cdtype = lp.fp_norm_scale.dtype
     out = jax.vmap(
         lambda xb, fb, ms, mf: _layer_math(
-            xb, fb, ms, mf, lp, num_heads, c_real, cdtype)
+            xb, fb, ms, mf, lp, num_heads, c_real, cdtype, sc)
     )(x, feats, mod_sa, mod_ffn)
     return out.astype(x.dtype)
 
@@ -234,7 +283,7 @@ def stack_layer_params(lps) -> LayerParams:
 
 
 def _chain_step(h, cond, null_emb, null_mask, mod_sa, mod_ffn, lp,
-                num_heads, c_real, cdtype):
+                num_heads, c_real, cdtype, sc=None):
     """One chain-kernel grid step: assemble feats (concat + optional
     classifier-free null substitution over the FULL concat, matching
     models/blocks.py) then run the layer math."""
@@ -243,18 +292,20 @@ def _chain_step(h, cond, null_emb, null_mask, mod_sa, mod_ffn, lp,
         m = null_mask.astype(feats.dtype)  # scalar 0/1 for this batch row
         feats = feats * (1.0 - m) + null_emb.astype(feats.dtype) * m
     return _layer_math(h, feats, mod_sa, mod_ffn, lp, num_heads, c_real,
-                       cdtype)
+                       cdtype, sc)
 
 
 def fused_branch_reference(x, cond, mods, slp: LayerParams, num_heads: int,
                            c_real: int, null_emb=None,
-                           null_mask=None) -> jax.Array:
+                           null_mask=None,
+                           ssc: Optional[LayerScales] = None) -> jax.Array:
     """jnp oracle for the chain kernel: sequential layers, vmapped batch.
 
     x (B,T,L); cond (B,T,Cp-L) zero-padded; mods (n,2,B,2L);
-    slp stacked over layers; null_mask (B,) float 0/1 or None.
+    slp stacked over layers; null_mask (B,) float 0/1 or None;
+    ssc stacked per-layer scales for int8 slp matrices or None.
     """
-    cdtype = slp.q_k.dtype
+    cdtype = slp.fp_norm_scale.dtype
     n_layers = slp.fp_fc1_k.shape[0]
     B = x.shape[0]
     out = []
@@ -262,19 +313,24 @@ def fused_branch_reference(x, cond, mods, slp: LayerParams, num_heads: int,
         h = x[b]
         for i in range(n_layers):
             lp = LayerParams(*(f[i] for f in slp))
+            sc = None if ssc is None else LayerScales(*(f[i] for f in ssc))
             h = _chain_step(
                 h, cond[b],
                 None if null_emb is None else null_emb[0],
                 None if null_mask is None else null_mask[b],
-                mods[i, 0, b], mods[i, 1, b], lp, num_heads, c_real, cdtype)
+                mods[i, 0, b], mods[i, 1, b], lp, num_heads, c_real, cdtype,
+                sc)
         out.append(h)
     return jnp.stack(out).astype(x.dtype)
 
 
-def _chain_kernel(num_heads, c_real, cdtype, use_null,
+def _chain_kernel(num_heads, c_real, cdtype, use_null, use_quant,
                   x_ref, cond_ref, null_emb_ref, null_mask_ref, mods_ref,
                   *rest):
-    lp = LayerParams(*(r[0] for r in rest[:-1]))
+    nf = len(LayerParams._fields)
+    lp = LayerParams(*(r[0] for r in rest[:nf]))
+    sc = (LayerScales(*(r[0] for r in rest[nf:nf + len(LayerScales._fields)]))
+          if use_quant else None)
     o_ref = rest[-1]
     layer = pl.program_id(1)
 
@@ -288,7 +344,7 @@ def _chain_kernel(num_heads, c_real, cdtype, use_null,
         null_emb_ref[0] if use_null else None,
         null_mask_ref[0, 0, 0] if use_null else None,
         mods_ref[0, 0, 0, 0], mods_ref[0, 1, 0, 0],
-        lp, num_heads, c_real, cdtype)
+        lp, num_heads, c_real, cdtype, sc)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -300,6 +356,7 @@ def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
                  c_real: int,
                  null_emb: Optional[jax.Array] = None,   # (1, Cp)
                  null_mask: Optional[jax.Array] = None,  # (B,) 0/1 rows
+                 ssc: Optional[LayerScales] = None,      # stacked (n, out)
                  interpret: bool = False) -> jax.Array:
     """A whole denoiser branch's layer stack as ONE Pallas program.
 
@@ -312,21 +369,24 @@ def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
     """
     if not _HAS_PALLAS:  # pragma: no cover
         return fused_branch_reference(x, cond, mods, slp, num_heads, c_real,
-                                      null_emb, null_mask)
+                                      null_emb, null_mask, ssc)
     B, T, L = x.shape
     n_layers = slp.fp_fc1_k.shape[0]
     Cp = L + cond.shape[-1]
     use_null = null_emb is not None
+    use_quant = ssc is not None
     if not use_null:  # uniform operand list either way
         null_emb = jnp.zeros((1, Cp), dtype=x.dtype)
         null_mask = jnp.zeros((B,), dtype=x.dtype)
     null_mask3 = null_mask.reshape(B, 1, 1).astype(x.dtype)
     mods5 = mods[:, :, :, None, :]               # (n, 2, B, 1, 2L)
-    cdtype = slp.q_k.dtype
+    cdtype = slp.fp_norm_scale.dtype
     # stacked per-layer vectors (n, D) would make (1, D) blocks, violating
     # Mosaic's last-two-dims rule for n>1 — lift them to (n, 1, D); the
     # (1, D) in-kernel view broadcasts identically against (T, D)
     slp = LayerParams(*(f[:, None, :] if f.ndim == 2 else f for f in slp))
+    if use_quant:
+        ssc = LayerScales(*(f[:, None, :] for f in ssc))
 
     def by_batch(shape):
         return pl.BlockSpec((1,) + tuple(shape[1:]),
@@ -349,12 +409,14 @@ def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
                      memory_space=pltpu.VMEM),
     ]
     in_specs += [by_layer(p) for p in slp]
+    extra = tuple(ssc) if use_quant else ()
+    in_specs += [by_layer(p) for p in extra]
 
     F = int(slp.ffn_l1_b.shape[-1])
     flops = 2 * B * n_layers * T * (Cp * 2 * L + 2 * L * L + 5 * L * L
                                     + 2 * L * F) \
         + 4 * B * n_layers * T * L * (L // num_heads)
-    weight_bytes = sum(p.size * p.dtype.itemsize for p in slp)
+    weight_bytes = sum(p.size * p.dtype.itemsize for p in (*slp, *extra))
     kwargs = {}
     if not interpret:
         # one layer's weights (~8 MB at the shipped width) double-buffered
@@ -363,7 +425,7 @@ def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
             vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_chain_kernel, num_heads, c_real, cdtype,
-                          use_null),
+                          use_null, use_quant),
         grid=(B, n_layers),
         in_specs=in_specs,
         out_specs=by_batch(x.shape),
@@ -375,16 +437,19 @@ def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
         ),
         interpret=interpret,
         **kwargs,
-    )(x, cond, null_emb, null_mask3, mods5, *slp)
+    )(x, cond, null_emb, null_mask3, mods5, *slp, *extra)
 
 
-def _kernel(num_heads, c_real, cdtype,
+def _kernel(num_heads, c_real, cdtype, use_quant,
             x_ref, feats_ref, mod_sa_ref, mod_ffn_ref, *rest):
-    lp = LayerParams(*(r[...] for r in rest[:-1]))
+    nf = len(LayerParams._fields)
+    lp = LayerParams(*(r[...] for r in rest[:nf]))
+    sc = (LayerScales(*(r[...] for r in rest[nf:nf + len(LayerScales._fields)]))
+          if use_quant else None)
     o_ref = rest[-1]
     out = _layer_math(
         x_ref[0], feats_ref[0], mod_sa_ref[0, 0], mod_ffn_ref[0, 0],
-        lp, num_heads, c_real, cdtype)
+        lp, num_heads, c_real, cdtype, sc)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -395,15 +460,16 @@ def fused_layer(x: jax.Array,         # (B, T, L)
                 lp: LayerParams,
                 num_heads: int,
                 c_real: int,
+                sc: Optional[LayerScales] = None,
                 interpret: bool = False) -> jax.Array:
     """One denoiser layer as a single Pallas program per batch row."""
     if not _HAS_PALLAS:  # pragma: no cover
         return fused_layer_reference(x, feats, mod_sa, mod_ffn, lp,
-                                     num_heads, c_real)
+                                     num_heads, c_real, sc)
     B, T, L = x.shape
     Cp = feats.shape[-1]
     F = lp.ffn_l1_b.shape[0]
-    cdtype = lp.q_k.dtype
+    cdtype = lp.fp_norm_scale.dtype
     # Mosaic requires a block's last two dims to be 8/128-divisible OR
     # equal to the array's; a (1, 2L) row block of a (B, 2L) array breaks
     # that for B>1, so the mods get a unit middle axis.
@@ -421,11 +487,13 @@ def fused_layer(x: jax.Array,         # (B, T, L)
     in_specs = [row(x.shape), row(feats.shape),
                 row(mod_sa.shape), row(mod_ffn.shape)]
     in_specs += [whole(p) for p in lp]
+    extra = tuple(sc) if sc is not None else ()
+    in_specs += [whole(p) for p in extra]
 
     # 8 matmuls/row: fc1, fc2, qkv(3), sa_out, ffn l1/l2/out + attention
     flops = 2 * B * T * (Cp * 2 * L + 2 * L * L + 5 * L * L + 2 * L * F) \
         + 4 * B * T * L * (L // num_heads)
-    weight_bytes = sum(p.size * p.dtype.itemsize for p in lp)
+    weight_bytes = sum(p.size * p.dtype.itemsize for p in (*lp, *extra))
     kwargs = {}
     if not interpret and cdtype.itemsize >= 4:
         # at the shipped width one layer's weights are ~4 MB bf16 / ~8 MB
@@ -437,7 +505,8 @@ def fused_layer(x: jax.Array,         # (B, T, L)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads, c_real, cdtype),
+        functools.partial(_kernel, num_heads, c_real, cdtype,
+                          sc is not None),
         grid=(B,),
         in_specs=in_specs,
         out_specs=row(x.shape),
@@ -449,4 +518,4 @@ def fused_layer(x: jax.Array,         # (B, T, L)
         ),
         interpret=interpret,
         **kwargs,
-    )(x, feats, mod_sa, mod_ffn, *lp)
+    )(x, feats, mod_sa, mod_ffn, *lp, *extra)

@@ -139,6 +139,19 @@ class WindowGenerator:
         self._use_fused_layer = use_fast
         fast_chain = fused_mode == "chain"
         fast_interpret = not on_tpu
+        # weight-only int8 for the fused transformer stack (opt-in,
+        # approximate — diffusion.quantize; PERF.md records the drift)
+        fast_quant = getattr(diff, "quantize", "none")
+        if fast_quant not in ("none", "int8"):
+            raise ValueError(
+                f"diffusion.quantize={fast_quant!r}: valid values are "
+                "'none', 'int8'")
+        if fast_quant != "none" and not use_fast:
+            raise ValueError(
+                "diffusion.quantize requires the fused-layer fast path "
+                "(diffusion.level_cache=True and fused_layer 'auto' on "
+                "TPU / 'on' / 'chain'); the Flax path has no quantized "
+                "engine")
         # streamlined step math (ops/step_math.py): scalar tables hoisted
         # out of the scan, dead eta=0 noise elided, algebraic eps identity.
         # 'auto' -> the jnp composition on TPU (measured faster than both
@@ -183,7 +196,8 @@ class WindowGenerator:
             loop-invariant."""
             if not use_fast:
                 return None
-            return extract_fast_params(mcfg, variables, T, has_hubert)
+            return extract_fast_params(mcfg, variables, T, has_hubert,
+                                       quant=fast_quant)
 
         def make_denoise_fn(variables, mel, pid, hubert, cache=None,
                             fast=None, word=None, emo=None):
@@ -192,7 +206,8 @@ class WindowGenerator:
                 fast = None  # the fast path consumes the cache
             elif fast is None and use_fast:
                 fast = extract_fast_params(mcfg, variables, mel.shape[1],
-                                           hubert is not None)
+                                           hubert is not None,
+                                           quant=fast_quant)
             # text/emo-conditioned checkpoints need the label inputs for a
             # structurally consistent apply (null_cond_emb width includes
             # word_f/emotion_f); with no labels available at sampling time

@@ -96,6 +96,12 @@ def main():
     run_variant("bf16 params + pallas", cfg_bf16, bf16_vars, args.secs,
                 args.batch)
 
+    # weight-only int8 transformer stack on top of bf16 serving
+    cfg_int8 = cfg_bf16.replace(diffusion=dataclasses.replace(
+        cfg_bf16.diffusion, quantize="int8"))
+    run_variant("bf16 + int8 weights", cfg_int8, bf16_vars, args.secs,
+                args.batch)
+
 
 if __name__ == "__main__":
     main()

@@ -20,9 +20,11 @@ from diffsheg_tpu.models.fast_forward import (extract_fast_params,
 from diffsheg_tpu.models.level_cache import build_level_cache, gather_level
 from diffsheg_tpu.models.unidiffuser import init_unidiffuser
 from diffsheg_tpu.sampling.generator import WindowGenerator
-from diffsheg_tpu.ops.fused_layer import (extract_layer_params,
+from diffsheg_tpu.ops.fused_layer import (LayerScales,
+                                          extract_layer_params,
                                           fused_layer,
-                                          fused_layer_reference)
+                                          fused_layer_reference,
+                                          quantize_layer_params)
 
 
 def tiny(cfg, **model_overrides):
@@ -97,6 +99,119 @@ class TestFusedLayerKernel:
                           interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestInt8Quantization:
+    def _layer_setup(self, key, B=2, T=13, L=64, H=4):
+        from diffsheg_tpu.models.blocks import DiffusionTransformerLayer
+        c_real, c_pad = L + 35, 128
+        ks = jax.random.split(key, 8)
+        layer = DiffusionTransformerLayer(L, 2 * L, H)
+        variables = layer.init(
+            jax.random.PRNGKey(1), jnp.zeros((B, T, L)),
+            jnp.zeros((B, T, c_real - L)), jnp.zeros((B, 4 * L)),
+            jnp.ones((B, T, 1)))
+        p = jax.tree.map(
+            lambda a: jax.random.normal(ks[0], a.shape) * 0.2,
+            variables["params"])
+        lp = extract_layer_params(p, c_real, c_pad, jnp.float32)
+        x = jax.random.normal(ks[1], (B, T, L))
+        feats = jnp.pad(jax.random.normal(ks[2], (B, T, c_real)),
+                        ((0, 0), (0, 0), (0, c_pad - c_real)))
+        mod_sa = jax.random.normal(ks[3], (B, 2 * L))
+        mod_ffn = jax.random.normal(ks[4], (B, 2 * L))
+        return lp, x, feats, mod_sa, mod_ffn, H, c_real
+
+    def test_quantize_dequantize_algebra(self):
+        """(a @ q) * s == a @ (q * s): the in-kernel dequant-on-output must
+        equal running the plain path on explicitly dequantized weights."""
+        lp, x, feats, mod_sa, mod_ffn, H, c_real = self._layer_setup(
+            jax.random.PRNGKey(20))
+        lq, sc = quantize_layer_params(lp)
+        deq = lq._replace(**{
+            n: lq._asdict()[n].astype(jnp.float32) * getattr(sc, n)[None]
+            for n in LayerScales._fields})
+        ref = fused_layer_reference(x, feats, mod_sa, mod_ffn, deq, H,
+                                    c_real)
+        got = fused_layer_reference(x, feats, mod_sa, mod_ffn, lq, H,
+                                    c_real, sc=sc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_int8_kernel_matches_reference(self):
+        lp, x, feats, mod_sa, mod_ffn, H, c_real = self._layer_setup(
+            jax.random.PRNGKey(21))
+        lq, sc = quantize_layer_params(lp)
+        ref = fused_layer_reference(x, feats, mod_sa, mod_ffn, lq, H,
+                                    c_real, sc=sc)
+        got = fused_layer(x, feats, mod_sa, mod_ffn, lq, H, c_real, sc=sc,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_int8_close_to_full_precision(self):
+        """Per-channel weight-only int8 drifts, but must stay small at the
+        layer level (the end-to-end drift budget lives in PERF.md)."""
+        lp, x, feats, mod_sa, mod_ffn, H, c_real = self._layer_setup(
+            jax.random.PRNGKey(22))
+        lq, sc = quantize_layer_params(lp)
+        full = fused_layer_reference(x, feats, mod_sa, mod_ffn, lp, H,
+                                     c_real)
+        quant = fused_layer_reference(x, feats, mod_sa, mod_ffn, lq, H,
+                                      c_real, sc=sc)
+        rel = (np.linalg.norm(np.asarray(quant - full))
+               / np.linalg.norm(np.asarray(full)))
+        assert rel < 2e-2, rel
+
+    def test_chain_int8_matches_reference(self):
+        from diffsheg_tpu.ops.fused_layer import (fused_branch,
+                                                  fused_branch_reference,
+                                                  stack_layer_params)
+        key = jax.random.PRNGKey(23)
+        lp, x, _, _, _, H, c_real = self._layer_setup(key)
+        B, T, L, n = x.shape[0], x.shape[1], x.shape[2], 2
+        c_pad = 128
+        slp = stack_layer_params([lp] * n)
+        slq, ssc = quantize_layer_params(slp)
+        cond = jax.random.normal(jax.random.fold_in(key, 1),
+                                 (B, T, c_real - L))
+        mods = jax.random.normal(jax.random.fold_in(key, 2),
+                                 (n, 2, B, 2 * L))
+        cond_pad = jnp.pad(cond, ((0, 0), (0, 0), (0, c_pad - c_real)))
+        ref = fused_branch_reference(x, cond_pad, mods, slq, H, c_real,
+                                     ssc=ssc)
+        got = fused_branch(x, cond_pad, mods, slq, H, c_real, ssc=ssc,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_generator_int8_close_to_full(self):
+        """diffusion.quantize='int8' end-to-end through the generator:
+        runs, and tracks the unquantized sampler closely."""
+        cfg = tiny(beat_config())
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(24), batch=2)
+        mk = lambda q: WindowGenerator(
+            cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer="on", quantize=q)), variables)
+        g_q, g_f = mk("int8"), mk("none")
+        mel, pid, hub, _ = make_inputs(cfg, jax.random.PRNGKey(25))
+        k = jax.random.PRNGKey(26)
+        a = np.asarray(g_q.generate(mel, pid, k, hub))
+        b = np.asarray(g_f.generate(mel, pid, k, hub))
+        assert np.isfinite(a).all()
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 0.1, rel
+
+    def test_quantize_requires_fast_path(self):
+        cfg = tiny(beat_config())
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(27), batch=1)
+        with pytest.raises(ValueError, match="quantize"):
+            WindowGenerator(
+                cfg.replace(diffusion=dataclasses.replace(
+                    cfg.diffusion, fused_layer="off", quantize="int8")),
+                variables)
 
 
 class TestEngineParity:
