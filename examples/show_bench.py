@@ -11,6 +11,7 @@ Run: python examples/show_bench.py   (one real TPU chip; first call compiles)
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -40,7 +41,9 @@ def main():
     jn, baseline = jump_config_baseline({2: BASELINE_FPS,
                                          5: BASELINE_FPS_JN5})
     cfg = cfg.replace(diffusion=dataclasses.replace(
-        cfg.diffusion, jump_n_sample=jn))
+        cfg.diffusion, jump_n_sample=jn,
+        # BENCH_QUANT=int8: opt-in weight-only int8 serving (PERF.md)
+        quantize=os.environ.get("BENCH_QUANT", "none")))
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16"))
 

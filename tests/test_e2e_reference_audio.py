@@ -191,3 +191,78 @@ def test_generate_cli_on_reference_audio(workdir, capsys):
         assert len(face["frames"]) == T
         dt = (face["frames"][1]["time"] - face["frames"][0]["time"])
         assert dt == pytest.approx(1.0 / 15.0, rel=1e-3)
+
+
+def test_generate_cli_show_on_reference_audio(tmp_path, capsys):
+    """SHOW flagship path as a program: a reference-init torch UniDiffuser in
+    the SHOW configuration (CFG cond_scale 1.15, speaker-4, 129+103 dims —
+    reference runner.py:188-222) through the .tar converter, the shipped wav
+    through ``cli generate --dataset show``, inv-standardized npy out
+    (``inference_custom_audio_show.sh`` + ``ddpm_show_trainer.py:1062-1131``).
+    """
+    import wave
+
+    from diffsheg_tpu.audio.wav import load_wav
+
+    P_, E_, S_ = 129, 103, 4   # SHOW dims (reference runner.py:191-206)
+    SECS_ = 4
+
+    opt = _ref_opt()
+    opt.classifier_free = True
+    opt.cond_scale = 1.15
+    opt.null_cond_prob = 0.1
+    opt.dim_pose = P_
+    opt.expression_dim = E_
+    opt.split_pos = P_
+    torch.manual_seed(1)
+    net = ref_tr.UniDiffuser(
+        opt, input_feats=P_ + E_, audio_dim=128, style_dim=S_,
+        num_frames=88, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS,
+        num_heads=HEADS, dropout=0, pe_type="pe_sinu").eval()
+    ckpt = str(tmp_path / "ckpt_show_init.tar")
+    torch.save({"encoder": net.state_dict(), "ep": 0}, ckpt)
+
+    y, sr = load_wav(WAV)
+    assert sr == 16000
+    wav4 = str(tmp_path / "scott_4s.wav")
+    with wave.open(wav4, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((y[:SECS_ * sr] * 32767).astype("<i2").tobytes())
+
+    # talkshow_mean_std.npy in the reference dict layout (165-d pose,
+    # 100-d expression)
+    rng = np.random.RandomState(1)
+    np.save(str(tmp_path / "talkshow_mean_std.npy"), {
+        "pose_mean": rng.randn(165).astype(np.float32),
+        "pose_std": (rng.rand(165) + 0.5).astype(np.float32),
+        "expression_mean": rng.randn(100).astype(np.float32),
+        "expression_std": (rng.rand(100) + 0.5).astype(np.float32),
+    })
+
+    from diffsheg_tpu.cli.main import main
+
+    out_dir = str(tmp_path / "out")
+    rc = main([
+        "generate", "--dataset", "show",
+        "--audio", wav4,
+        "--checkpoint", ckpt,
+        "--stats-dir", str(tmp_path),
+        "--out-dir", out_dir,
+        "--speakers", "1,3",
+        "--set", f"model.latent_dim={LATENT}",
+        "--set", f"model.num_layers={LAYERS}",
+        "--set", f"model.num_heads={HEADS}",
+        "--set", f"model.ff_size={FF}",
+        "--set", "model.add_hubert=false",
+    ])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "FPS" in stdout and "real-time" in stdout
+
+    T = SECS_ * 30  # 30 fps (reference runner.py:190)
+    for spk in (0, 1):
+        motion = np.load(os.path.join(out_dir, f"scott_4s_{spk}.npy"))
+        assert motion.shape == (T, P_ + E_)
+        assert np.isfinite(motion).all()

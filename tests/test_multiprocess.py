@@ -13,6 +13,8 @@ init); it is marked ``slow``-adjacent but kept in the default run because it
 is the only coverage of real cross-process execution.
 """
 
+import os
+
 import jax
 import pytest
 
@@ -32,3 +34,18 @@ def test_two_process_lockstep_matches_single_process():
     # sanity on the payload itself: losses decreased over the 3 steps
     ref = out["reference"]
     assert ref["loss_2"] < ref["loss_0"]
+
+
+@pytest.mark.skipif(jax.device_count() != 8,
+                    reason="needs the 8-device virtual CPU mesh")
+@pytest.mark.skipif(not os.environ.get("DIFFSHEG_MP_WIDE"),
+                    reason="4-process variant is opt-in "
+                           "(DIFFSHEG_MP_WIDE=1): same code paths as the "
+                           "2-process test at 2x the spawn cost")
+def test_four_process_lockstep_matches_single_process():
+    """Width scaling of the same harness: 4 processes x 2 local devices
+    over the identical 8-device global mesh must reproduce the
+    single-process result too (reference runner.py:86 spawns one process
+    per GPU — 4 or 5 in the shipped configs)."""
+    out = run_lockstep(num_processes=4, local_devices=2, timeout=1200.0)
+    assert len(out["workers"]) == 4
