@@ -65,12 +65,13 @@ def check():
     pid = jax.nn.one_hot(jnp.array([1]), base.model.style_dim)
     key = jax.random.PRNGKey(7)
 
-    def run(cfg, no_pallas=False):
+    def run(cfg, no_pallas=False, vs=None):
         if no_pallas:
             os.environ["DIFFSHEG_NO_PALLAS"] = "1"
         try:
-            out = StreamingGenerator(WindowGenerator(cfg, variables)).generate(
-                mel, pid, key, hubert=hubert)
+            out = StreamingGenerator(
+                WindowGenerator(cfg, vs if vs is not None else variables)
+            ).generate(mel, pid, key, hubert=hubert)
             return np.asarray(out, np.float64)
         finally:
             os.environ.pop("DIFFSHEG_NO_PALLAS", None)
@@ -93,6 +94,28 @@ def check():
     int8cfg = int8cfg.replace(diffusion=dataclasses.replace(
         int8cfg.diffusion, quantize="int8"))
     fast8 = run(int8cfg)
+    # the serving configuration (PERF.md ladder step 8): whole-branch
+    # chain kernel + int8 weights
+    chaincfg = int8cfg.replace(diffusion=dataclasses.replace(
+        int8cfg.diffusion, fused_layer="chain"))
+    fast8c = run(chaincfg)
+    # classifier-free guidance through the chain kernel (the SHOW serving
+    # shape): exercises the null-substitution branch on real Mosaic,
+    # which the BEAT rows (classifier_free=False) never reach
+    cfg_model = dataclasses.replace(base.model, classifier_free=True,
+                                    cond_scale=1.15)
+    _, cfg_vars = init_unidiffuser(cfg_model, base.data.n_poses,
+                                   jax.random.PRNGKey(1))
+    def cfg_variant(dtype, **diff_over):
+        c = base.replace(model=dataclasses.replace(
+            cfg_model, compute_dtype=dtype))
+        return c.replace(diffusion=dataclasses.replace(
+            c.diffusion, **diff_over))
+    plain32g = run(cfg_variant("float32", fused_layer="off",
+                               level_cache=False),
+                   no_pallas=True, vs=cfg_vars)
+    fast8cg = run(cfg_variant("bfloat16", fused_layer="chain",
+                              quantize="int8"), vs=cfg_vars)
 
     def rel_rms(a, b):
         return float(np.sqrt(((a - b) ** 2).mean()) /
@@ -101,11 +124,16 @@ def check():
     r32 = rel_rms(fast32, plain32)
     r16 = rel_rms(fast16, plain32)
     r8 = rel_rms(fast8, plain32)
-    ok = r32 < 5e-3 and r16 < 2.5e-2 and r8 < 1e-1
+    r8c = rel_rms(fast8c, plain32)
+    r8cg = rel_rms(fast8cg, plain32g)
+    ok = (r32 < 5e-3 and r16 < 2.5e-2 and r8 < 1e-1 and r8c < 1e-1
+          and r8cg < 1e-1)
     print(f"check[{jax.default_backend()}]: "
           f"f32 fast-vs-plain rel_rms={r32:.2e} (tol 5e-3)  "
           f"bf16 fast-vs-plain rel_rms={r16:.2e} (tol 2.5e-2)  "
-          f"int8 fast-vs-plain rel_rms={r8:.2e} (tol 1e-1)",
+          f"int8 fast-vs-plain rel_rms={r8:.2e} (tol 1e-1)  "
+          f"chain-int8 rel_rms={r8c:.2e} (tol 1e-1)  "
+          f"chain-int8-cfg rel_rms={r8cg:.2e} (tol 1e-1)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "fastpath_rel_rms",
@@ -113,6 +141,8 @@ def check():
         "unit": "rel_rms_f32",
         "bf16_rel_rms": round(r16, 6),
         "int8_rel_rms": round(r8, 6),
+        "chain_int8_rel_rms": round(r8c, 6),
+        "chain_int8_cfg_rel_rms": round(r8cg, 6),
         "backend": jax.default_backend(),
         "ok": ok,
     }))
@@ -144,7 +174,11 @@ def main():
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=jn,
         fused_step=os.environ.get("BENCH_FUSED_STEP", "auto"),
-        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "auto"),
+        # serving config: the whole-branch chain kernel (exact same
+        # numerics class as the per-layer kernel — bench.py --check —
+        # at ~25% higher throughput; BENCH_FUSED_LAYER=auto for the
+        # per-layer rung)
+        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "chain"),
         # BENCH_QUANT=int8: weight-only int8 serving (approximate —
         # quality drift measured by --check; PERF.md)
         quantize=os.environ.get("BENCH_QUANT", "none")))

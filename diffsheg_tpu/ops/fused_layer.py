@@ -289,8 +289,13 @@ def _chain_step(h, cond, null_emb, null_mask, mod_sa, mod_ffn, lp,
     models/blocks.py) then run the layer math."""
     feats = jnp.concatenate([h.astype(cond.dtype), cond], axis=-1)
     if null_emb is not None:
-        m = null_mask.astype(feats.dtype)  # scalar 0/1 for this batch row
-        feats = feats * (1.0 - m) + null_emb.astype(feats.dtype) * m
+        # all-f32 blend: Mosaic requires 32-bit scalar arithmetic, and
+        # _layer_math casts feats to f32 anyway.  m is exactly 0.0/1.0 so
+        # the blend equals the per-layer path's where() substitution.
+        f32 = jnp.float32
+        m = null_mask.astype(f32)  # scalar 0/1 for this batch row
+        feats = (feats.astype(f32) * (1.0 - m)
+                 + null_emb.astype(f32) * m)
     return _layer_math(h, feats, mod_sa, mod_ffn, lp, num_heads, c_real,
                        cdtype, sc)
 
@@ -378,7 +383,9 @@ def fused_branch(x: jax.Array,        # (B, T, L) embedded input (post PE)
     if not use_null:  # uniform operand list either way
         null_emb = jnp.zeros((1, Cp), dtype=x.dtype)
         null_mask = jnp.zeros((B,), dtype=x.dtype)
-    null_mask3 = null_mask.reshape(B, 1, 1).astype(x.dtype)
+    # f32: Mosaic only supports 32-bit scalar extracts, and the kernel
+    # reads this as a scalar (null_mask_ref[0, 0, 0])
+    null_mask3 = null_mask.reshape(B, 1, 1).astype(jnp.float32)
     mods5 = mods[:, :, :, None, :]               # (n, 2, B, 1, 2L)
     cdtype = slp.fp_norm_scale.dtype
     # stacked per-layer vectors (n, D) would make (1, D) blocks, violating

@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,7 @@ def main():
                                          5: BASELINE_FPS_JN5})
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=jn,
+        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "chain"),
         # BENCH_QUANT=int8: opt-in weight-only int8 serving (PERF.md)
         quantize=os.environ.get("BENCH_QUANT", "none")))
     cfg = cfg.replace(model=dataclasses.replace(
