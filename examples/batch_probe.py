@@ -4,7 +4,10 @@ The window stream is sequential (RePaint overlap), so aggregate throughput
 comes from the free batch axis — the reference loops styles serially
 (ddpm_beat_trainer.py:1189).  Run: python examples/batch_probe.py [B ...]
 """
-import sys, time, dataclasses
+import os, sys, time, dataclasses
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax, jax.numpy as jnp, numpy as np
 
 def run(B):
@@ -18,7 +21,10 @@ def run(B):
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
 
     cfg = beat_config()
-    cfg = cfg.replace(diffusion=dataclasses.replace(cfg.diffusion, jump_n_sample=2))
+    cfg = cfg.replace(diffusion=dataclasses.replace(
+        cfg.diffusion, jump_n_sample=2,
+        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "chain"),
+        quantize=os.environ.get("BENCH_QUANT", "none")))
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
     _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses, jax.random.PRNGKey(0))
     stream = StreamingGenerator(WindowGenerator(cfg, variables))

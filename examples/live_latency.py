@@ -64,7 +64,14 @@ def main():
 
     cfg = beat_config()
     cfg = cfg.replace(
-        diffusion=dataclasses.replace(cfg.diffusion, jump_n_sample=2),
+        diffusion=dataclasses.replace(
+            cfg.diffusion, jump_n_sample=2,
+            # live sessions keep the per-layer kernel: a single window's
+            # wall time is dispatch-bound (~27 ms tunnel) and the chain
+            # kernel measured no better (worse at small windows) — the
+            # chain win is specific to the fused whole-stream program
+            fused_layer=os.environ.get("BENCH_FUSED_LAYER", "auto"),
+            quantize=os.environ.get("BENCH_QUANT", "none")),
         model=dataclasses.replace(cfg.model, compute_dtype="bfloat16",
                                   add_hubert=False),
     )
