@@ -23,7 +23,11 @@ def run(B):
     cfg = beat_config()
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=2,
-        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "chain"),
+        # per-layer kernel: the chain kernel's (batch, layer) grid
+        # re-streams every layer's weights once PER ROW, halving
+        # aggregate throughput at B=64 (measured 6.5k vs 12.7k FPS) —
+        # chain is a B=1 single-stream win only
+        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "auto"),
         quantize=os.environ.get("BENCH_QUANT", "none")))
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
     _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses, jax.random.PRNGKey(0))

@@ -96,9 +96,11 @@ def main():
     run_variant("bf16 params + pallas", cfg_bf16, bf16_vars, args.secs,
                 args.batch)
 
-    # weight-only int8 transformer stack on top of bf16 serving
+    # weight-only int8 transformer stack on top of bf16 serving.
+    # fused_layer='on' (not 'auto'): quantize requires the fast path, and
+    # 'on' keeps the variant runnable off-TPU via interpret mode
     cfg_int8 = cfg_bf16.replace(diffusion=dataclasses.replace(
-        cfg_bf16.diffusion, quantize="int8"))
+        cfg_bf16.diffusion, quantize="int8", fused_layer="on"))
     run_variant("bf16 + int8 weights", cfg_int8, bf16_vars, args.secs,
                 args.batch)
 

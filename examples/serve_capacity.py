@@ -48,22 +48,25 @@ def run_row(n_sessions: int, secs: int, chunk_s: float, port: int,
 
     def worker(idx: int):
         services = []
-        with MotionClient("127.0.0.1", port) as cli:
-            cli.start(speakers=[idx % style_dim], seed=idx)
-            t_start = time.perf_counter()
-            for k in range(n_chunks):
-                target = t_start + k * chunk_s
-                now = time.perf_counter()
-                if now < target:
-                    time.sleep(target - now)
+        try:
+            with MotionClient("127.0.0.1", port) as cli:
+                cli.start(speakers=[idx % style_dim], seed=idx)
+                t_start = time.perf_counter()
+                for k in range(n_chunks):
+                    target = t_start + k * chunk_s
+                    now = time.perf_counter()
+                    if now < target:
+                        time.sleep(target - now)
+                    t0 = time.perf_counter()
+                    cli.push(audio[k])
+                    services.append(time.perf_counter() - t0)
+                push_wall = time.perf_counter() - t_start
                 t0 = time.perf_counter()
-                cli.push(audio[k])
-                services.append(time.perf_counter() - t0)
-            push_wall = time.perf_counter() - t_start
-            t0 = time.perf_counter()
-            cli.finish()
-            drain = time.perf_counter() - t0
-        results[idx] = (push_wall, drain, services)
+                cli.finish()
+                drain = time.perf_counter() - t0
+            results[idx] = (push_wall, drain, services)
+        except Exception as e:  # surface the root cause, don't mask it
+            results[idx] = e
 
     threads = [threading.Thread(target=worker, args=(i,))
                for i in range(n_sessions)]
@@ -71,6 +74,12 @@ def run_row(n_sessions: int, secs: int, chunk_s: float, port: int,
         t.start()
     for t in threads:
         t.join()
+
+    errors = [r for r in results if isinstance(r, Exception)]
+    if errors:
+        raise RuntimeError(
+            f"{len(errors)}/{n_sessions} sessions failed; first: "
+            f"{errors[0]!r}")
 
     # a session keeps up when the paced push loop never falls behind the
     # capture cadence: its wall equals the stream length (+ margin); the
@@ -102,7 +111,7 @@ def main():
 
     from diffsheg_tpu.config import beat_config
     from diffsheg_tpu.models.unidiffuser import init_unidiffuser
-    from diffsheg_tpu.serving.server import MotionClient, MotionServer
+    from diffsheg_tpu.serving.server import MotionServer
     from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
