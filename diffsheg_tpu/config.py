@@ -163,13 +163,14 @@ class DiffusionConfig:
                               # denoise step — ~60% less HBM weight traffic
                               # in the sampler scan (models/level_cache.py);
                               # numerically identical, sampling-only
-    quantize: str = "none"    # {'none','int8'}: weight-only per-output-
-                              # channel int8 for the fused serving path's
-                              # transformer stack (ops/fused_layer.py
-                              # LayerScales) — halves its HBM weight
-                              # traffic per denoise step; approximate
-                              # (measured drift in PERF.md), opt-in,
-                              # requires the fused_layer fast path
+    quantize: str = "none"    # {'none','int8','int4'}: weight-only per-
+                              # output-channel quantization for the fused
+                              # serving path's transformer stack
+                              # (ops/fused_layer.py LayerScales) — halves
+                              # (int8) or quarters (int4, nibble-packed)
+                              # its HBM weight traffic per denoise step;
+                              # approximate (measured drift in PERF.md),
+                              # opt-in, requires the fused_layer fast path
 
 
 @dataclass(frozen=True)

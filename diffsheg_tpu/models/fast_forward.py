@@ -93,18 +93,20 @@ def _extract_branch(cfg: ModelConfig, p, T: int, c_real: int, c_pad: int,
         extract_layer_params(p[f"layer_{i}"], c_real, c_pad, dtype)
         for i in range(cfg.num_layers)])
     scales = None
-    if quant == "int8":
-        # weight-only per-output-channel int8 (ops/fused_layer.py): halves
-        # the transformer-stack HBM weight traffic per denoise step; the
+    if quant in ("int8", "int4"):
+        # weight-only per-output-channel int8/int4 (ops/fused_layer.py):
+        # halves (int8) or quarters (int4, nibble-packed) the
+        # transformer-stack HBM weight traffic per denoise step; the
         # small tensors (joint/out/pe/norms/biases) stay in ``dtype``.
         # Quantize from the f32 checkpoint weights, not the dtype-cast
-        # copies — int8 codes + f32 scales are dtype-independent, so
+        # copies — int codes + f32 scales are dtype-independent, so
         # rounding through bf16 first would only add error
         f32_layers = stack_layer_params([
             extract_layer_params(p[f"layer_{i}"], c_real, c_pad,
                                  jnp.float32)
             for i in range(cfg.num_layers)])
-        q_layers, scales = quantize_layer_params(f32_layers)
+        q_layers, scales = quantize_layer_params(
+            f32_layers, bits=8 if quant == "int8" else 4)
         layers = layers._replace(**{n: getattr(q_layers, n)
                                     for n in LayerScales._fields})
     return BranchFast(

@@ -123,18 +123,37 @@ class LayerScales(NamedTuple):
     ffn_out_k: jax.Array
 
 
-def quantize_layer_params(lp: LayerParams):
-    """Symmetric per-output-channel int8 quantization of every weight
+def quantize_layer_params(lp: LayerParams, bits: int = 8):
+    """Symmetric per-output-channel int{8,4} quantization of every weight
     matrix; vectors (norms, biases) keep their dtype.  Works on one
     layer's params or the stacked form (reduction is over the
-    contraction axis, ``-2``).  Returns ``(lp_int8, LayerScales)``."""
+    contraction axis, ``-2``).  Returns ``(lp_quant, LayerScales)``.
+
+    ``bits=4`` packs two codes per int8 byte along the *output* axis:
+    the LEFT column half lands in the high nibble and the RIGHT half in
+    the low nibble, so the packed matrix is ``(K, N/2)`` int8 against
+    ``(N,)`` scales — the kernel detects the packing from that shape
+    mismatch and reconstructs ``[w_left | w_right]`` with two shifts
+    (no interleave; column order is preserved by construction).  Codes
+    are clipped to the symmetric range [-7, 7].
+    """
+    assert bits in (8, 4), bits
     qs = {}
     scales = []
+    qmax = 127.0 if bits == 8 else 7.0
     for name in LayerScales._fields:
         w = getattr(lp, name).astype(jnp.float32)
         amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
-        s = jnp.maximum(amax, 1e-30) / 127.0
-        qs[name] = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+        s = jnp.maximum(amax, 1e-30) / qmax
+        q = jnp.clip(jnp.round(w / s), -qmax, qmax).astype(jnp.int32)
+        if bits == 4:
+            n = q.shape[-1]
+            assert n % 2 == 0, (name, q.shape)
+            hi, lo = q[..., : n // 2], q[..., n // 2:]
+            # hi in [-7,7] << 4 plus the low nibble stays inside int8's
+            # [-128,127], so the int8 cast is value-preserving
+            q = (hi << 4) | (lo & 0xF)
+        qs[name] = q.astype(jnp.int8)
         scales.append(jnp.squeeze(s, axis=-2))
     return lp._replace(**qs), LayerScales(*scales)
 
@@ -197,7 +216,17 @@ def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
 
     def mm(a, w, b, s=None):
         if s is not None:
-            w = w.astype(cdtype)
+            if w.shape[-1] * 2 == s.shape[-1]:
+                # nibble-packed int4 (see quantize_layer_params): high
+                # nibble = left column half, low = right half.  i32
+                # shifts sign-extend both nibbles; the unpack runs on
+                # VMEM-resident data — HBM already streamed half bytes.
+                qi = w.astype(jnp.int32)
+                w = jnp.concatenate(
+                    [(qi >> 4).astype(cdtype),
+                     ((qi << 28) >> 28).astype(cdtype)], axis=-1)
+            else:
+                w = w.astype(cdtype)
         y = jax.lax.dot_general(
             a.astype(cdtype), w, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)

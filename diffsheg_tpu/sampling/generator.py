@@ -139,13 +139,13 @@ class WindowGenerator:
         self._use_fused_layer = use_fast
         fast_chain = fused_mode == "chain"
         fast_interpret = not on_tpu
-        # weight-only int8 for the fused transformer stack (opt-in,
+        # weight-only int8/int4 for the fused transformer stack (opt-in,
         # approximate — diffusion.quantize; PERF.md records the drift)
         fast_quant = getattr(diff, "quantize", "none")
-        if fast_quant not in ("none", "int8"):
+        if fast_quant not in ("none", "int8", "int4"):
             raise ValueError(
                 f"diffusion.quantize={fast_quant!r}: valid values are "
-                "'none', 'int8'")
+                "'none', 'int8', 'int4'")
         if fast_quant != "none" and not use_fast:
             raise ValueError(
                 "diffusion.quantize requires the fused-layer fast path "

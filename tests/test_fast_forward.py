@@ -203,6 +203,92 @@ class TestInt8Quantization:
         rel = np.linalg.norm(a - b) / np.linalg.norm(b)
         assert rel < 0.1, rel
 
+    def test_int4_pack_roundtrip(self):
+        """Nibble packing: unpacking the int8 bytes reproduces the exact
+        int4 codes (left halves in the high nibble, right in the low)."""
+        lp, *_ = self._layer_setup(jax.random.PRNGKey(30))
+        lq, sc = quantize_layer_params(lp, bits=4)
+        for name in LayerScales._fields:
+            w = np.asarray(getattr(lp, name), np.float32)
+            s = np.asarray(getattr(sc, name))[None]
+            codes = np.clip(np.round(w / s), -7, 7)
+            packed = np.asarray(getattr(lq, name)).astype(np.int32)
+            hi, lo = packed >> 4, (packed << 28) >> 28
+            np.testing.assert_array_equal(
+                np.concatenate([hi, lo], axis=-1), codes, err_msg=name)
+
+    def test_int4_kernel_matches_reference(self):
+        lp, x, feats, mod_sa, mod_ffn, H, c_real = self._layer_setup(
+            jax.random.PRNGKey(31))
+        lq, sc = quantize_layer_params(lp, bits=4)
+        ref = fused_layer_reference(x, feats, mod_sa, mod_ffn, lq, H,
+                                    c_real, sc=sc)
+        got = fused_layer(x, feats, mod_sa, mod_ffn, lq, H, c_real, sc=sc,
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_int4_matches_explicit_dequant(self):
+        """The packed-int4 path must equal the plain path on explicitly
+        dequantized weights — packing/unpack is exact algebra; all the
+        approximation lives in the 4-bit rounding itself."""
+        lp, x, feats, mod_sa, mod_ffn, H, c_real = self._layer_setup(
+            jax.random.PRNGKey(32))
+        lq, sc = quantize_layer_params(lp, bits=4)
+        deq = {}
+        for n in LayerScales._fields:
+            packed = np.asarray(getattr(lq, n)).astype(np.int32)
+            codes = np.concatenate([packed >> 4, (packed << 28) >> 28],
+                                   axis=-1).astype(np.float32)
+            deq[n] = jnp.asarray(codes * np.asarray(getattr(sc, n))[None])
+        ref = fused_layer_reference(x, feats, mod_sa, mod_ffn,
+                                    lp._replace(**deq), H, c_real)
+        got = fused_layer_reference(x, feats, mod_sa, mod_ffn, lq, H,
+                                    c_real, sc=sc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_chain_int4_matches_reference(self):
+        from diffsheg_tpu.ops.fused_layer import (fused_branch,
+                                                  fused_branch_reference,
+                                                  stack_layer_params)
+        key = jax.random.PRNGKey(33)
+        lp, x, _, _, _, H, c_real = self._layer_setup(key)
+        B, T, L, n = x.shape[0], x.shape[1], x.shape[2], 2
+        c_pad = 128
+        slp = stack_layer_params([lp] * n)
+        slq, ssc = quantize_layer_params(slp, bits=4)
+        cond = jax.random.normal(jax.random.fold_in(key, 1),
+                                 (B, T, c_real - L))
+        mods = jax.random.normal(jax.random.fold_in(key, 2),
+                                 (n, 2, B, 2 * L))
+        cond_pad = jnp.pad(cond, ((0, 0), (0, 0), (0, c_pad - c_real)))
+        ref = fused_branch_reference(x, cond_pad, mods, slq, H, c_real,
+                                     ssc=ssc)
+        got = fused_branch(x, cond_pad, mods, slq, H, c_real, ssc=ssc,
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_generator_int4_runs_and_tracks_full(self):
+        """diffusion.quantize='int4' end-to-end through the generator:
+        runs, stays finite, and tracks the unquantized sampler within the
+        (much looser than int8) 4-bit drift budget."""
+        cfg = tiny(beat_config())
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(34), batch=2)
+        mk = lambda q: WindowGenerator(
+            cfg.replace(diffusion=dataclasses.replace(
+                cfg.diffusion, fused_layer="on", quantize=q)), variables)
+        g_q, g_f = mk("int4"), mk("none")
+        mel, pid, hub, _ = make_inputs(cfg, jax.random.PRNGKey(35))
+        k = jax.random.PRNGKey(36)
+        a = np.asarray(g_q.generate(mel, pid, k, hub))
+        b = np.asarray(g_f.generate(mel, pid, k, hub))
+        assert np.isfinite(a).all()
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+        assert rel < 0.5, rel
+
     def test_quantize_requires_fast_path(self):
         cfg = tiny(beat_config())
         _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
