@@ -108,6 +108,12 @@ def check():
     chaincfg = int8cfg.replace(diffusion=dataclasses.replace(
         int8cfg.diffusion, fused_layer="chain"))
     fast8c = run(chaincfg)
+    # chain kernel + nibble-packed int4 weights: the loosest rung — the
+    # tolerance only asserts "compiles on Mosaic, finite, in the 4-bit
+    # drift class" (the shift/concat unpack is the TPU-specific surface)
+    chain4cfg = chaincfg.replace(diffusion=dataclasses.replace(
+        chaincfg.diffusion, quantize="int4"))
+    fast4c = run(chain4cfg)
     # classifier-free guidance through the chain kernel (the SHOW serving
     # shape): exercises the null-substitution branch on real Mosaic,
     # which the BEAT rows (classifier_free=False) never reach
@@ -136,15 +142,17 @@ def check():
     r8 = rel_rms(fast8, plain32)
     r8c = rel_rms(fast8c, plain32)
     r8cg = rel_rms(fast8cg, plain32g)
+    r4c = rel_rms(fast4c, plain32)
     ok = (r32 < 5e-3 and r16 < 2.5e-2 and r16c < 2.5e-2
-          and r8 < 1e-1 and r8c < 1e-1 and r8cg < 1e-1)
+          and r8 < 1e-1 and r8c < 1e-1 and r8cg < 1e-1 and r4c < 5e-1)
     print(f"check[{jax.default_backend()}]: "
           f"f32 fast-vs-plain rel_rms={r32:.2e} (tol 5e-3)  "
           f"bf16 fast-vs-plain rel_rms={r16:.2e} (tol 2.5e-2)  "
           f"chain-bf16 rel_rms={r16c:.2e} (tol 2.5e-2)  "
           f"int8 fast-vs-plain rel_rms={r8:.2e} (tol 1e-1)  "
           f"chain-int8 rel_rms={r8c:.2e} (tol 1e-1)  "
-          f"chain-int8-cfg rel_rms={r8cg:.2e} (tol 1e-1)",
+          f"chain-int8-cfg rel_rms={r8cg:.2e} (tol 1e-1)  "
+          f"chain-int4 rel_rms={r4c:.2e} (tol 5e-1)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "fastpath_rel_rms",
@@ -155,6 +163,7 @@ def check():
         "int8_rel_rms": round(r8, 6),
         "chain_int8_rel_rms": round(r8c, 6),
         "chain_int8_cfg_rel_rms": round(r8cg, 6),
+        "chain_int4_rel_rms": round(r4c, 6),
         "backend": jax.default_backend(),
         "ok": ok,
     }))

@@ -214,22 +214,27 @@ def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
     f32 = jnp.float32
     T, L = x.shape
 
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
     def mm(a, w, b, s=None):
+        if s is not None and w.shape[-1] * 2 == s.shape[-1]:
+            # nibble-packed int4 (see quantize_layer_params): high nibble
+            # = left column half, low = right half.  int8-native shifts
+            # sign-extend both nibbles without widening the (K, N/2)
+            # block to i32, and the two half-width dots concat on the
+            # (T, N/2) f32 accumulators instead of materialising a
+            # (K, N) weight copy (K >> T at serving shapes) — HBM
+            # already streamed half of int8's bytes.
+            ac = a.astype(cdtype)
+            y = jnp.concatenate(
+                [dot(ac, (w >> 4).astype(cdtype)),
+                 dot(ac, ((w << 4) >> 4).astype(cdtype))], axis=-1)
+            return y * s.astype(f32) + b.astype(f32)
         if s is not None:
-            if w.shape[-1] * 2 == s.shape[-1]:
-                # nibble-packed int4 (see quantize_layer_params): high
-                # nibble = left column half, low = right half.  i32
-                # shifts sign-extend both nibbles; the unpack runs on
-                # VMEM-resident data — HBM already streamed half bytes.
-                qi = w.astype(jnp.int32)
-                w = jnp.concatenate(
-                    [(qi >> 4).astype(cdtype),
-                     ((qi << 28) >> 28).astype(cdtype)], axis=-1)
-            else:
-                w = w.astype(cdtype)
-        y = jax.lax.dot_general(
-            a.astype(cdtype), w, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)
+            w = w.astype(cdtype)
+        y = dot(a.astype(cdtype), w)
         if s is not None:
             y = y * s.astype(f32)
         return y + b.astype(f32)
