@@ -282,8 +282,16 @@ def main():
     frames = int(out.shape[1])
     best = int(np.argmin(totals))
     fps = frames / totals[best]
+    # best-of-N stays the headline (de-noises within-run tunnel jitter),
+    # but the JSON also carries the median and spread so a single
+    # favorable draw is visible as such (PERF.md documents ~4%/day
+    # across-run drift through the remote-TPU tunnel)
+    median_fps = frames / float(np.median(totals))
+    spread = (max(totals) - min(totals)) / float(np.median(totals))
     print(f"fused pipeline (best of {len(totals)}): "
-          f"total={totals[best]:.3f}s frames={frames}", file=sys.stderr)
+          f"total={totals[best]:.3f}s frames={frames} "
+          f"median_fps={median_fps:.1f} spread={spread:.1%}",
+          file=sys.stderr)
 
     quant = os.environ.get("BENCH_QUANT", "none")
     layer_mode = os.environ.get("BENCH_FUSED_LAYER", "chain")
@@ -294,6 +302,10 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
+        "median": round(median_fps, 2),
+        "median_vs_baseline": round(median_fps / baseline, 3),
+        "spread_pct": round(100 * spread, 2),
+        "reps": len(totals),
     }))
 
 

@@ -15,6 +15,7 @@ compiler; the native path is used automatically when the library builds.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -25,9 +26,32 @@ import numpy as np
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "native", "dataplane.cpp")
 _LIB_PATH = os.path.join(_HERE, "native", "libdataplane.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _lib_is_fresh() -> bool:
+    """True iff the built .so corresponds to the current source.
+
+    The hash sidecar (written at build time) is the staleness guard: an
+    edited ``dataplane.cpp`` triggers a rebuild on next import even when a
+    stale binary exists, without relying on ABI-version bumps or mtimes
+    (mtimes are unreliable across git checkouts).
+    """
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        with open(_HASH_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def _build() -> bool:
@@ -36,6 +60,8 @@ def _build() -> bool:
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
              "-pthread", _SRC, "-o", _LIB_PATH],
             check=True, capture_output=True, timeout=120)
+        with open(_HASH_PATH, "w") as f:
+            f.write(_src_hash())
         return True
     except Exception:
         return False
@@ -47,7 +73,7 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
+        if not _lib_is_fresh():
             if not os.path.exists(_SRC) or not _build():
                 return None
         try:

@@ -45,6 +45,29 @@ def test_parse_empty(tmp_path):
     assert got.size == 0
 
 
+def test_stale_binary_detected(monkeypatch, tmp_path):
+    """An edited dataplane.cpp invalidates a previously built .so.
+
+    Guard for the staleness check in runtime._lib_is_fresh: the hash
+    sidecar written at build time must stop matching when the source
+    changes, forcing a rebuild on next import (no ABI bump needed).
+    """
+    src = tmp_path / "dataplane.cpp"
+    lib = tmp_path / "libdataplane.so"
+    sidecar = tmp_path / "libdataplane.so.srchash"
+    src.write_text("// v1")
+    lib.write_bytes(b"ELFnotreally")
+    monkeypatch.setattr(runtime, "_SRC", str(src))
+    monkeypatch.setattr(runtime, "_LIB_PATH", str(lib))
+    monkeypatch.setattr(runtime, "_HASH_PATH", str(sidecar))
+    # no sidecar at all -> stale
+    assert not runtime._lib_is_fresh()
+    sidecar.write_text(runtime._src_hash())
+    assert runtime._lib_is_fresh()
+    src.write_text("// v2 — edited source")
+    assert not runtime._lib_is_fresh()
+
+
 def test_parse_dense_single_char_values():
     """Maximally dense input must not truncate (regression: max_vals bound)."""
     text = b" ".join(b"7" for _ in range(17))
