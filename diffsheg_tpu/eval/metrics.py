@@ -126,6 +126,52 @@ def mse_pck_channels(outputs: np.ndarray, targets: np.ndarray,
             float((np.abs(outputs - targets) < pck_threshold).mean()))
 
 
+def srgr(outputs: np.ndarray, targets: np.ndarray,
+         semantic: np.ndarray, threshold: float = 0.3,
+         avg_weight: float | None = None) -> float:
+    """SRGR — Semantic-Relevant Gesture Recall (BEAT benchmark metric).
+
+    The third metric of the external BEAT harness triad
+    (FGD / beat-align / SRGR) the reference shells out for
+    (reference trainers/ddpm_beat_trainer.py:1106-1117; the harness itself,
+    ``0_BEAT_ori/codes/audio2pose``, is not part of the reference tree).
+    Native rebuild of the published BEAT-paper definition (Liu et al.,
+    ECCV'22 §5.1): per-frame per-joint recall — a joint is *recalled* when
+    the L1 distance over its 3 rotation channels is under ``threshold`` —
+    weighted by that frame's semantic-relevance annotation, so recall
+    during semantically meaningful gestures counts for more:
+
+        SRGR = mean_{t,j} 1[ ||pred_{t,j} - gt_{t,j}||_1 < threshold ] * w_t
+
+    with ``w_t = sem_t / avg_weight``.  The harness hard-codes the
+    normalizer to the BEAT test split's mean semantic weight (0.165) so an
+    all-recalled clip scores 1.0; pass ``avg_weight=0.165`` for that
+    convention.  The default (``None``) normalizes by the empirical mean of
+    the *provided* semantic track — self-normalizing on any split or
+    synthetic fixture, identical to the harness constant in expectation on
+    the BEAT test split.
+
+    outputs/targets: (T, C) pose channels with C divisible by 3 (BEAT: the
+    141-dim gesture block = 47 joints x 3 axis-angle channels, in the same
+    normalized space the model is scored in for MSE/PCK).
+    semantic: (T,) per-frame scores from the BEAT ``sem`` TSV annotation
+    (data/beat.py::semantic_scores_per_frame).
+    """
+    outputs = np.asarray(outputs, dtype=np.float64)
+    targets = np.asarray(targets, dtype=np.float64)
+    semantic = np.asarray(semantic, dtype=np.float64).reshape(-1)
+    T, C = outputs.shape
+    assert C % 3 == 0, f"SRGR needs 3-channel joints, got C={C}"
+    assert targets.shape == outputs.shape and semantic.shape[0] == T
+    diff = np.abs(outputs - targets).reshape(T, C // 3, 3).sum(axis=-1)
+    recalled = (diff < threshold).astype(np.float64)
+    if avg_weight is None:
+        avg_weight = float(semantic.mean())
+        if avg_weight <= 0.0:
+            return float(recalled.mean())  # unannotated clip: plain recall
+    return float((recalled * (semantic / avg_weight)[:, None]).mean())
+
+
 def diversity(outputs: np.ndarray, batch: int = 50) -> float:
     """Mean absolute difference over all ordered pairs inside groups of
     ``batch`` samples (Ye et al. ECCV'22 protocol; reference

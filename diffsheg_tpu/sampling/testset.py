@@ -64,7 +64,7 @@ def generate_testset(
             n_frames=cfg.data.n_poses, pose_dim=cfg.model.motion_dim))
         fgd_embed = jax.jit(lambda x: net.apply(fgd_variables, x))
 
-    mses, pcks, aligns = [], [], []
+    mses, pcks, aligns, srgrs = [], [], [], []
     gen_lat, real_lat = [], []
     total_frames = 0
     t_start = time.perf_counter()
@@ -118,6 +118,14 @@ def generate_testset(
                 np.asarray(s["audio"], dtype=np.float32), cfg.data.audio_sr)
             pose_ch = out[:T, :cfg.model.pose_dim]
             aligns.append(beat_alignment(pose_ch, beats, cfg.data.fps))
+        # SRGR (the harness triad's third metric) on clips that carry the
+        # BEAT per-frame semantic annotation; scored on the gesture block
+        # like the harness's pose test (47 joints x 3 channels)
+        if "sem" in s and cfg.model.pose_dim % 3 == 0 and not output_gt:
+            from diffsheg_tpu.eval.metrics import srgr as srgr_metric
+            sem = np.asarray(s["sem"], dtype=np.float32).reshape(-1)[:T]
+            srgrs.append(srgr_metric(out[:T, :cfg.model.pose_dim],
+                                     gt[:T, :cfg.model.pose_dim], sem))
         if fgd_embed is not None:
             W = cfg.data.n_poses
             nwin = T // W
@@ -134,6 +142,7 @@ def generate_testset(
         "mse": float(np.mean(mses)) if mses else float("nan"),
         "pck": float(np.mean(pcks)) if pcks else float("nan"),
         "beat_align": float(np.mean(aligns)) if aligns else float("nan"),
+        "srgr": float(np.mean(srgrs)) if srgrs else float("nan"),
         "fps": total_frames / max(wall, 1e-9),
         "clips": float(len(mses)),
     }
@@ -151,6 +160,10 @@ def generate_testset(
         # would skew the mean whenever a rank holds a mix
         metrics.update(col.all_reduce_nanmean_metrics(
             {"beat_align": metrics["beat_align"]}, weight=float(len(aligns))))
+        # srgr is measured only on semantically annotated clips — weight by
+        # this rank's annotated-clip count, same rationale as beat-align
+        metrics.update(col.all_reduce_nanmean_metrics(
+            {"srgr": metrics["srgr"]}, weight=float(len(srgrs))))
         # clips becomes the global count; fps the aggregate throughput
         # (ranks generate concurrently, so global rate = sum of local rates)
         sums = col.gather_arrays(np.asarray(

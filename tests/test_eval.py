@@ -221,3 +221,48 @@ class TestDiversityProtocol:
             for j in range(i + 1, 4):
                 acc += np.mean(np.abs(x[i] - x[j]))
         assert got == pytest.approx(acc * 2 / (4 * 3), rel=1e-12)
+
+
+class TestSRGR:
+    """SRGR golden values (BEAT-paper definition, eval/metrics.py::srgr)."""
+
+    def test_hand_computed_golden(self):
+        # 2 frames, 2 joints (C=6).  Joint L1 diffs chosen around the 0.3
+        # threshold; semantic track [1.0, 3.0] -> mean 2.0.
+        out = np.array([[0.0, 0.0, 0.0, 0.1, 0.1, 0.05],
+                        [0.2, 0.2, 0.0, 0.0, 0.0, 0.0]])
+        gt = np.zeros((2, 6))
+        sem = np.array([1.0, 3.0])
+        # L1 per joint: f0=[0.0 ok, 0.25 ok], f1=[0.4 MISS, 0.0 ok]
+        # weights w_t = sem/mean(sem) = [0.5, 1.5]
+        # mean over 4 (frame,joint) cells: (0.5+0.5+0+1.5)/4 = 0.625
+        assert M.srgr(out, gt, sem) == pytest.approx(0.625, rel=1e-12)
+
+    def test_harness_avg_weight_convention(self):
+        # with the harness's hard-coded normalizer, all-recalled frames
+        # score sem/0.165 each — golden: sem=[0.165] -> exactly 1.0
+        out = np.zeros((1, 3)); gt = np.zeros((1, 3))
+        assert M.srgr(out, gt, np.array([0.165]),
+                      avg_weight=0.165) == pytest.approx(1.0)
+        assert M.srgr(out, gt, np.array([0.33]),
+                      avg_weight=0.165) == pytest.approx(2.0)
+
+    def test_perfect_match_self_normalized_is_one(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(10, 141)
+        sem = rng.rand(10)
+        assert M.srgr(x, x, sem) == pytest.approx(1.0)
+
+    def test_unannotated_clip_falls_back_to_plain_recall(self):
+        out = np.array([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0]])
+        gt = np.zeros((1, 6))
+        # sem all zero: plain recall = 1 of 2 joints
+        assert M.srgr(out, gt, np.zeros(1)) == pytest.approx(0.5)
+
+    def test_threshold_is_l1_over_joint_channels(self):
+        # per-channel diff 0.11 -> joint L1 0.33 > 0.3 -> miss; a
+        # per-channel or L2 rule would (wrongly) count this as recalled
+        out = np.full((1, 3), 0.11)
+        gt = np.zeros((1, 3))
+        assert M.srgr(out, gt, np.ones(1)) == 0.0
+        assert M.srgr(out, gt, np.ones(1), threshold=0.34) == 1.0
