@@ -85,6 +85,18 @@ class HubertFeatureExtractor:
             return None
 
         valid_frames = [(L - KERNEL) // STRIDE + 1 for _, L in plan]
+        # static per-chunk frame mask: the remainder chunk is zero-padded to
+        # CHUNK_SAMPLES, and without masking its pad frames would leak into
+        # the valid frames through softmax attention (the torch reference
+        # encodes the remainder at natural length, extract_hubert.py:18-63;
+        # masking makes the padded encode equal that bit-for-bit)
+        full_frames = (CHUNK_SAMPLES - KERNEL) // STRIDE + 1
+        frame_mask = None
+        if any(L < CHUNK_SAMPLES for _, L in plan):
+            import numpy as np
+            frame_mask = jnp.asarray(
+                np.arange(full_frames)[None, :]
+                < np.asarray(valid_frames)[:, None])
 
         def fn(variables, audio):
             audio = normalize_waveform(audio)
@@ -96,7 +108,8 @@ class HubertFeatureExtractor:
                     ch = jnp.pad(ch, ((0, 0), (0, CHUNK_SAMPLES - length)))
                 rows.append(ch)
             batchd = jnp.concatenate(rows, axis=0)
-            feats = self.model.apply(variables, batchd)  # (chunks, F, 1024)
+            feats = self.model.apply(variables, batchd,
+                                     frame_mask)  # (chunks, F, 1024)
             parts = [feats[i, :vf] for i, vf in enumerate(valid_frames)]
             seq = jnp.concatenate(parts, axis=0)[None]  # (1, T', 1024)
 

@@ -102,7 +102,8 @@ def _open_dataset(args, cfg, cache_path, hubert_cache=None):
     from diffsheg_tpu.data.beat import BeatDataset, BeatStats
     stats = BeatStats.load(args.stats_dir) if args.stats_dir else None
     return BeatDataset(cache_path, stats, hubert_cache_dir=hubert_cache,
-                       remove_hand=cfg.data.remove_hand)
+                       remove_hand=cfg.data.remove_hand,
+                       include_audio=cfg.train.on_device_frontend)
 
 
 def cmd_train(args) -> int:
@@ -122,8 +123,18 @@ def cmd_train(args) -> int:
     mk = lambda ds: ShardedBatchLoader(
         ds, global_batch_size=batch, seed=cfg.train.seed,
         process_index=jax.process_index(), process_count=jax.process_count())
+    hubert_variables = None
+    if cfg.train.on_device_frontend and cfg.model.add_hubert:
+        if getattr(args, "hubert_checkpoint", None):
+            from diffsheg_tpu.compat.hubert_ckpt import load_hf_hubert
+            hubert_variables = load_hf_hubert(args.hubert_checkpoint)
+        else:
+            print("WARNING: train.on_device_frontend with model.add_hubert "
+                  "but no --hubert-checkpoint — speech features come from a "
+                  "RANDOM-INIT encoder.", file=sys.stderr)
     trainer = Trainer(cfg, args.workdir,
-                      fgd_variables=_load_fgd_variables(args, cfg))
+                      fgd_variables=_load_fgd_variables(args, cfg),
+                      hubert_variables=hubert_variables)
     if args.resume:
         trainer.try_resume()
     trainer.fit(mk(train_ds), mk(val_ds) if val_ds else None,
@@ -444,6 +455,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--fgd-checkpoint",
                     help="reference FGD autoencoder (ae_300.bin / "
                          "gesture_expression.pth.tar) for eval FGD")
+    sp.add_argument("--hubert-checkpoint",
+                    help="HF HuBERT weights for the on-device speech "
+                         "frontend (--set train.on_device_frontend=true)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("generate", help="custom-audio generation")

@@ -245,6 +245,13 @@ class TrainConfig:
     seed: int = 0
     checkpoints_dir: str = "checkpoints"
     timestep_sampler: str = "uniform"  # {uniform, loss-second-moment}
+    on_device_frontend: bool = False  # compute mel + HuBERT INSIDE the
+                                 # jitted train step from the cache's raw
+                                 # 16 kHz window audio (audio/frontend.py)
+                                 # instead of shipping precomputed features
+                                 # host->device (~4x fewer bytes/batch; the
+                                 # reference extracts HuBERT on the host,
+                                 # ddpm_beat_trainer.py:1429-1475)
     debug_nans: bool = False     # NaN tripwire (the reference enables
                                  # torch.autograd.set_detect_anomaly
                                  # unconditionally, runner.py:112; here it

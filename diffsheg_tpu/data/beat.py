@@ -335,10 +335,13 @@ class BeatDataset:
 
     def __init__(self, cache_dir: str, stats: Optional[BeatStats] = None,
                  hubert_cache_dir: Optional[str] = None,
-                 remove_hand: bool = False):
+                 remove_hand: bool = False, include_audio: bool = False):
         self.cache = ArrayCache(cache_dir)
         self.stats = stats
         self.remove_hand = remove_hand
+        # include the raw 16 kHz window audio in batches (int16 transport)
+        # for the on-device speech frontend (train.on_device_frontend)
+        self.include_audio = include_audio
         self.hubert = (ArrayCache(hubert_cache_dir)
                        if hubert_cache_dir and cache_exists(hubert_cache_dir)
                        else None)
@@ -367,6 +370,8 @@ class BeatDataset:
     def batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
         keys = ["pose", "pose_axis_angle", "mel", "facial", "sem", "id"]
         keys += [k for k in ("word", "emo") if k in self.cache.fields]
+        if self.include_audio and "audio" in self.cache.fields:
+            keys.append("audio")
         b = self.cache.batch(indices, keys)
         if self.remove_hand:
             b["pose_axis_angle"] = b["pose_axis_angle"][

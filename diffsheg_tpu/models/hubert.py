@@ -135,7 +135,8 @@ class HubertSelfAttention(nn.Module):
     cfg: HubertConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 frame_mask: jax.Array | None = None) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         B, T, H = x.shape
@@ -149,6 +150,12 @@ class HubertSelfAttention(nn.Module):
         v = v.reshape(B, T, nh, hd)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
+        if frame_mask is not None:
+            # additive key mask (the HF masked path): padded frames get
+            # zero softmax weight, so valid frames equal a natural-length
+            # (unpadded) forward bit-for-bit
+            logits = jnp.where(frame_mask[:, None, None, :], logits,
+                               jnp.float32(-1e9))
         probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                          preferred_element_type=jnp.float32).astype(dtype)
@@ -162,7 +169,8 @@ class HubertEncoderLayer(nn.Module):
     cfg: HubertConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 frame_mask: jax.Array | None = None) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
 
@@ -173,33 +181,46 @@ class HubertEncoderLayer(nn.Module):
 
         if c.stable_layer_norm:
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="attn_ln")(x)
-            x = x + HubertSelfAttention(c, name="attn")(h)
+            x = x + HubertSelfAttention(c, name="attn")(h, frame_mask)
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="ffn_ln")(x)
             return x + ffn(h)
-        x = x + HubertSelfAttention(c, name="attn")(x)
+        x = x + HubertSelfAttention(c, name="attn")(x, frame_mask)
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="attn_ln")(x)
         x = x + ffn(x)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="ffn_ln")(x)
 
 
 class HubertModel(nn.Module):
-    """Waveform (B, N) at 16 kHz -> hidden states (B, T, 1024), T=(N-400)//320+1."""
+    """Waveform (B, N) at 16 kHz -> hidden states (B, T, 1024), T=(N-400)//320+1.
+
+    ``frame_mask`` (B, T) bool marks valid conv-output frames when rows are
+    right-padded to a static length (the chunked extractor pads its remainder
+    chunk, audio/hubert_runner.py).  Semantics follow HF's masked path:
+    pad hidden states are zeroed before the positional conv and excluded
+    from attention, so the valid frames equal a natural-length forward —
+    without it, pad frames leak into every frame through softmax attention.
+    """
 
     cfg: HubertConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 frame_mask: jax.Array | None = None) -> jax.Array:
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
         h = ConvFeatureExtractor(c, name="feature_extractor")(x)
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="feat_proj_ln")(h)
         h = nn.Dense(c.hidden_size, dtype=dtype, name="feat_proj")(h)
+        if frame_mask is not None:
+            # zero pad positions so the positional conv sees the same zeros
+            # torch's implicit end-of-sequence conv padding provides
+            h = h * frame_mask[..., None].astype(h.dtype)
         h = h + PosConvEmbed(c, name="pos_conv")(h)
         if not c.stable_layer_norm:
             # wav2vec2: LN after the positional conv, none at the end
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="final_ln")(h)
         for i in range(c.num_layers):
-            h = HubertEncoderLayer(c, name=f"layer_{i}")(h)
+            h = HubertEncoderLayer(c, name=f"layer_{i}")(h, frame_mask)
         if c.stable_layer_norm:
             h = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype, name="final_ln")(h)
         return h

@@ -99,6 +99,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     vel_loss_active: bool = True,
     inject_randoms: bool = False,
+    frontend=None,
 ):
     """Build the jitted train step.
 
@@ -109,6 +110,12 @@ def make_train_step(
     noise)`` with caller-supplied timesteps and diffusion noise — used by the
     reference-lockstep training-parity tests to run both frameworks on
     identical randomness.
+
+    ``frontend`` (audio/frontend.py::make_speech_frontend) moves the speech
+    feature extraction INSIDE the compiled step: the batch then carries raw
+    ``wave16`` (B, S) audio instead of ``mel``/``hubert`` — ~4x fewer
+    host->device bytes than shipping 1024-d features (the reference extracts
+    HuBERT on the host, ddpm_beat_trainer.py:1429-1475).
     """
     from diffsheg_tpu.config import check_variance_coupling
     check_variance_coupling(cfg)
@@ -184,6 +191,9 @@ def make_train_step(
             t = jax.lax.with_sharding_constraint(t, constraint)
             noise = jax.lax.with_sharding_constraint(
                 noise, NamedSharding(mesh, P(mesh.axis_names[0], None, None)))
+
+        if frontend is not None:
+            batch = frontend(batch)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (terms, new_bs, per_sample)), grads = grad_fn(

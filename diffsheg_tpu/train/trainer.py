@@ -55,7 +55,8 @@ class Trainer:
 
     def __init__(self, cfg: Config, workdir: str,
                  fgd_variables: Optional[Any] = None,
-                 logger: Optional[MetricLogger] = None):
+                 logger: Optional[MetricLogger] = None,
+                 hubert_variables: Optional[Any] = None):
         self.cfg = cfg
         self.workdir = workdir
         if cfg.train.debug_nans:
@@ -71,11 +72,21 @@ class Trainer:
         with self.mesh:
             self.state: TrainState = create_train_state(cfg, variables,
                                                         mesh=self.mesh)
+        frontend = None
+        if cfg.train.on_device_frontend:
+            from diffsheg_tpu.audio.frontend import make_speech_frontend
+            frontend = make_speech_frontend(cfg, hubert_variables)
+        self._frontend = frontend
+        # eval uses the same on-device features as training (one jit,
+        # called per eval batch — shapes are static per batch size)
+        self._frontend_jit = jax.jit(frontend) if frontend else None
         # two step variants: epoch-gated velocity/x0 terms
         self._step_full = make_train_step(cfg, self.schedule, mesh=self.mesh,
-                                          vel_loss_active=True)
+                                          vel_loss_active=True,
+                                          frontend=frontend)
         self._step_eps = make_train_step(cfg, self.schedule, mesh=self.mesh,
-                                         vel_loss_active=False)
+                                         vel_loss_active=False,
+                                         frontend=frontend)
         self.ckpt = CheckpointManager(f"{workdir}/ckpt")
         self.epoch = 0
         self.total_it = 0
@@ -157,7 +168,23 @@ class Trainer:
             motion = batch["pose_axis_angle"]
         else:
             motion = batch["motion"]
-        out = {"motion": motion, "mel": batch["mel"]}
+        out = {"motion": motion}
+        on_device_fe = self.cfg.train.on_device_frontend
+        if on_device_fe:
+            if "audio" not in batch:
+                raise ValueError(
+                    "train.on_device_frontend requires the cache's raw "
+                    "'audio' field in batches (BeatDataset(..., "
+                    "include_audio=True); the cache builder stores it by "
+                    "default, data/beat.py)")
+            # int16 transport: halves the host->device bytes; the source
+            # PCM was int16, so the quantization is below the original
+            # recording's own resolution (frontend dequantizes on device)
+            out["wave16"] = np.clip(
+                np.asarray(batch["audio"], np.float32) * 32768.0,
+                -32768, 32767).astype(np.int16)
+        else:
+            out["mel"] = batch["mel"]
         if mode == "exp_condition_gesture":
             out["exp_cond"] = batch["facial"]
         if "pid" in batch:
@@ -168,7 +195,9 @@ class Trainer:
             ids = batch["id"].reshape(-1).astype(np.int32)
             out["pid"] = np.eye(self.cfg.model.style_dim,
                                 dtype=np.float32)[ids % self.cfg.model.style_dim]
-        if "hubert" in batch:
+        if on_device_fe:
+            pass  # the in-step frontend computes mel + hubert from wave16
+        elif "hubert" in batch:
             out["hubert"] = batch["hubert"]
         elif self.cfg.model.add_hubert:
             # no cached features: zero conditioning keeps shapes static —
@@ -238,6 +267,15 @@ class Trainer:
             if max_batches and bi >= max_batches:
                 break
             mb = self._to_model_batch(batch)
+            if self._frontend_jit is not None:
+                # on-device frontend: derive mel (+hubert) from the raw
+                # window audio exactly as the train step does
+                feats = self._frontend_jit(
+                    {"wave16": jnp.asarray(mb.pop("wave16")),
+                     "motion": jnp.asarray(mb["motion"])})
+                mb["mel"] = feats["mel"]
+                if "hubert" in feats:
+                    mb["hubert"] = feats["hubert"]
             rng, k = jax.random.split(rng)
             out = gen.generate(jnp.asarray(mb["mel"]), jnp.asarray(mb["pid"]),
                                k, hubert=jnp.asarray(mb["hubert"])

@@ -34,7 +34,8 @@ import numpy as np
 PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
 
-def build(batch: int, dtype: str, remat: bool = False):
+def build(batch: int, dtype: str, remat: bool = False,
+          frontend: bool = False):
     import dataclasses
 
     from diffsheg_tpu.config import beat_config
@@ -55,31 +56,45 @@ def build(batch: int, dtype: str, remat: bool = False):
     sched = make_schedule(get_named_beta_schedule(
         cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
     state = create_train_state(cfg, variables)
-    step = make_train_step(cfg, sched)
+
+    fe = None
+    if frontend:
+        # on-device speech frontend: the batch carries raw int16 16 kHz
+        # audio and the compiled step derives mel + HuBERT itself
+        # (train.on_device_frontend; audio/frontend.py)
+        from diffsheg_tpu.audio.frontend import make_speech_frontend
+        fe = make_speech_frontend(cfg)
+    step = make_train_step(cfg, sched, frontend=fe)
 
     B, T = batch, cfg.data.n_poses
-    rs = np.random.RandomState(0)
+    S = int(round(T / cfg.data.fps * cfg.data.audio_sr))
 
     def make_host_batch(seed=0):
         r = np.random.RandomState(seed)
-        return {
+        out = {
             "motion": r.randn(B, T, cfg.model.motion_dim).astype(np.float32),
-            "mel": r.randn(B, T, cfg.model.audio_dim).astype(np.float32),
             "pid": np.eye(cfg.model.style_dim, dtype=np.float32)[
                 np.arange(B) % cfg.model.style_dim],
-            "hubert": r.randn(B, T, cfg.model.hubert_dim).astype(np.float32),
             "sem": np.full((B, T), 0.5, dtype=np.float32),
         }
+        if frontend:
+            out["wave16"] = (r.randn(B, S) * 3000).astype(np.int16)
+        else:
+            out["mel"] = r.randn(B, T, cfg.model.audio_dim).astype(np.float32)
+            out["hubert"] = r.randn(B, T,
+                                    cfg.model.hubert_dim).astype(np.float32)
+        return out
 
     device_batch = jax.tree.map(jnp.asarray, make_host_batch())
     return cfg, state, step, device_batch, make_host_batch
 
 
 def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
-            remat: bool = False):
+            remat: bool = False, frontend: bool = False):
     cfg, state, step, device_batch, make_host_batch = build(
-        batch, dtype, remat=remat)
+        batch, dtype, remat=remat, frontend=frontend)
     B, T = batch, cfg.data.n_poses
+    bytes_per_batch = sum(v.nbytes for v in make_host_batch().values())
 
     # AOT-compile ONCE; the Compiled object serves both the timed calls and
     # XLA's own FLOP count for the MFU estimate (calling step() and then
@@ -139,6 +154,7 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
         "batch": B,
         "dtype": dtype,
         "remat": remat,
+        "frontend": frontend,
         "step_ms": round(dt * 1e3, 1),
         "windows_per_s": round(B / dt, 1),
         "frames_per_s": round(B * T / dt, 0),
@@ -147,6 +163,7 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
         "compile_s": round(compile_s, 1),
         "loss": round(float(terms.total), 2),
         "pipelined": pipeline,
+        "host_mb_per_batch": round(bytes_per_batch / 1e6, 1),
     }
 
 
@@ -155,6 +172,15 @@ def main():
         # just the input-pipeline-overlap point (re-runnable in isolation)
         r = measure(1024, "bfloat16", reps=4, pipeline=True)
         print(json.dumps(r), flush=True)
+        return
+    if os.environ.get("TRAIN_BENCH_FRONTEND"):
+        # the on-device-frontend pair: resident raw-audio step (exposes the
+        # in-step mel+HuBERT compute cost) and the same step fed by the
+        # production loader (exposes the shrunken host->device transfer)
+        for pipe in (False, True):
+            r = measure(1024, "bfloat16", reps=4, pipeline=pipe,
+                        frontend=True)
+            print(json.dumps(r), flush=True)
         return
     if os.environ.get("TRAIN_BENCH_MATRIX"):
         rows = []

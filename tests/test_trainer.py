@@ -34,9 +34,13 @@ class _SynthDs:
     def __init__(self, cfg, n=16, T=8):
         rng = np.random.RandomState(0)
         m = cfg.model
+        S = int(T / cfg.data.fps * cfg.data.audio_sr)
         self.data = {
             "motion": rng.randn(n, T, m.motion_dim).astype(np.float32) * .5,
             "mel": rng.randn(n, T, m.audio_dim).astype(np.float32),
+            # raw 16 kHz window audio (the cache stores it; only read when
+            # train.on_device_frontend is on)
+            "audio": (rng.randn(n, S) * 0.1).astype(np.float32),
             "sem": rng.rand(n, T).astype(np.float32),
             "id": rng.randint(0, m.style_dim, size=(n, 1)).astype(np.int32),
         }
@@ -84,6 +88,36 @@ class TestTrainerFit:
         assert np.isfinite(res.pck)
         assert np.isfinite(res.diversity)
         assert np.isnan(res.fgd)  # no FGD net provided
+
+
+class TestOnDeviceFrontend:
+    """train.on_device_frontend: the trainer ships raw int16 audio and the
+    compiled step (and eval) derive mel on device (audio/frontend.py)."""
+
+    def test_fit_and_evaluate_with_frontend(self, tmp_path):
+        import dataclasses as dc
+        cfg = tiny_cfg(tmp_path)
+        cfg = cfg.replace(train=dc.replace(cfg.train,
+                                           on_device_frontend=True))
+        ds = _SynthDs(cfg)
+        loader = ShardedBatchLoader(ds, global_batch_size=8, prefetch=0,
+                                    shuffle=False)
+        tr = Trainer(cfg, str(tmp_path / "run_fe"))
+        tr.fit(loader, num_epochs=1)
+        assert tr.epoch == 1
+        res = tr.evaluate(loader, jax.random.PRNGKey(0), max_batches=1)
+        assert np.isfinite(res.mse)
+        assert np.isfinite(res.pck)
+
+    def test_missing_audio_field_raises(self, tmp_path):
+        import dataclasses as dc
+        cfg = tiny_cfg(tmp_path)
+        cfg = cfg.replace(train=dc.replace(cfg.train,
+                                           on_device_frontend=True))
+        tr = Trainer(cfg, str(tmp_path / "run_fe2"))
+        with pytest.raises(ValueError, match="on_device_frontend"):
+            tr._to_model_batch({"motion": np.zeros((2, 8, 1)),
+                                "id": np.zeros((2, 1), np.int32)})
 
 
 class TestShowTraining:
