@@ -60,20 +60,28 @@ def make_speech_frontend(
     hub_vars = None
     if cfg.model.add_hubert:
         from diffsheg_tpu.audio.hubert_runner import KERNEL
-        from diffsheg_tpu.models.hubert import HubertConfig, HubertModel
+        from diffsheg_tpu.models.hubert import (HubertConfig, HubertModel,
+                                                stack_layer_params)
 
         # the frozen encoder follows the model compute dtype (the serving
         # pipeline already runs HuBERT in bf16, PERF.md ladder step 4);
         # features re-cast to f32 below so the denoiser contract is stable
         if hubert_cfg is None:
             hubert_cfg = HubertConfig(dtype=cfg.model.compute_dtype)
-        hub_model = HubertModel(hubert_cfg)
+        # scan_layers: the 24-layer encoder as ONE lax.scan — the unrolled
+        # stack made the train-step compile pathologically slow
+        hub_model = HubertModel(hubert_cfg, scan_layers=True)
         if hubert_variables is None:
-            window_samples = int(round(
-                cfg.data.n_poses / cfg.data.fps * cfg.data.audio_sr))
-            hubert_variables = hub_model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, max(window_samples, KERNEL * 4))))
+            # host-CPU init (models/factory.py::host_init); params don't
+            # depend on length, so init at the smallest legal waveform
+            from diffsheg_tpu.models.factory import host_init
+            hubert_variables = host_init(
+                hub_model.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, KERNEL * 4)))
+        elif "layer_0" in hubert_variables["params"]:
+            # unrolled layout (HF conversion / extractor init) -> stacked
+            hubert_variables = stack_layer_params(hubert_variables,
+                                                  hubert_cfg.num_layers)
         hub_vars = hubert_variables
 
     def frontend(batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:

@@ -64,7 +64,11 @@ class HubertFeatureExtractor:
         self.model = HubertModel(self.cfg)
         if variables is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
-            variables = self.model.init(rng, jnp.zeros((1, KERNEL * 4)))
+            # host-CPU init (see models/factory.py::host_init): eager init
+            # through a remote-attached device is per-op dispatch
+            from diffsheg_tpu.models.factory import host_init
+            variables = host_init(self.model.init, rng,
+                                  jnp.zeros((1, KERNEL * 4)))
         self.variables = variables
         self._fns = {}
 

@@ -249,7 +249,8 @@ class TrainConfig:
                                  # jitted train step from the cache's raw
                                  # 16 kHz window audio (audio/frontend.py)
                                  # instead of shipping precomputed features
-                                 # host->device (~4x fewer bytes/batch; the
+                                 # host->device (~1.9x fewer bytes/batch —
+                                 # 187->101 MB at batch 1024; the
                                  # reference extracts HuBERT on the host,
                                  # ddpm_beat_trainer.py:1429-1475)
     debug_nans: bool = False     # NaN tripwire (the reference enables

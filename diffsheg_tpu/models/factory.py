@@ -126,6 +126,29 @@ def build_denoiser(cfg: ModelConfig) -> nn.Module:
     return SingleBranchDenoiser(cfg)
 
 
+def host_init(init_fn, *args, **kw):
+    """Run a flax ``init`` on the host CPU backend and return numpy params.
+
+    Eager flax init EXECUTES the model forward op-by-op; on a
+    remote-attached accelerator that is one network round-trip per op
+    (~35 ms x thousands of ops = 10+ minutes for the 155M UniDiffuser,
+    measured), and ``jax.jit(init)`` instead pays a full-model XLA compile
+    for a program used exactly once.  Params need neither: threefry RNG is
+    backend-deterministic, so CPU init produces bit-identical trees, and
+    numpy leaves upload in bulk wherever they are first used.
+    """
+    import numpy as np
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    to_cpu = lambda a: (jax.device_put(a, cpu)
+                        if hasattr(a, "dtype") and hasattr(a, "ndim") else a)
+    args = jax.tree.map(to_cpu, args)
+    kw = {k: jax.tree.map(to_cpu, v) for k, v in kw.items()}
+    with jax.default_device(cpu):
+        variables = init_fn(*args, **kw)
+    return jax.tree.map(np.asarray, variables)
+
+
 def init_denoiser(cfg: ModelConfig, n_poses: int, rng: jax.Array,
                   batch: int = 1):
     """Initialise (model, variables) for any branch mode."""
@@ -145,6 +168,6 @@ def init_denoiser(cfg: ModelConfig, n_poses: int, rng: jax.Array,
         kw["word"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
     if cfg.add_emo_cond:
         kw["emo"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
-    variables = model.init(rng, x, t, sa, mel, pid, hubert=hub, train=False,
-                           **kw)
+    variables = host_init(model.init, rng, x, t, sa, mel, pid, hubert=hub,
+                          train=False, **kw)
     return model, variables

@@ -167,6 +167,12 @@ def init_unidiffuser(
         kw["word"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
     if cfg.add_emo_cond:
         kw["emo"] = jnp.zeros((batch, n_poses), dtype=jnp.int32)
-    variables = model.init(rng, x, t, sa, mel, pid, hubert=hub, train=False,
-                           **kw)
+    # init on the HOST CPU backend: eager flax init executes the forward
+    # op-by-op (one network round-trip per op on a remote-attached device
+    # — 10+ minutes measured), and jitting it pays a full-model compile
+    # for a once-used program.  Params don't need the accelerator; they
+    # are returned as numpy and upload in bulk wherever first used.
+    from diffsheg_tpu.models.factory import host_init
+    variables = host_init(model.init, rng, x, t, sa, mel, pid, hubert=hub,
+                          train=False, **kw)
     return model, variables

@@ -113,7 +113,7 @@ def make_train_step(
 
     ``frontend`` (audio/frontend.py::make_speech_frontend) moves the speech
     feature extraction INSIDE the compiled step: the batch then carries raw
-    ``wave16`` (B, S) audio instead of ``mel``/``hubert`` — ~4x fewer
+    ``wave16`` (B, S) audio instead of ``mel``/``hubert`` — ~1.9x fewer
     host->device bytes than shipping 1024-d features (the reference extracts
     HuBERT on the host, ddpm_beat_trainer.py:1429-1475).
     """

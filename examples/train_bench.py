@@ -109,8 +109,10 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
         if isinstance(cost, list):  # per-device list on some backends
             cost = cost[0] if cost else {}
         flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        # XLA's own HBM traffic estimate: roofline numerator/denominator
+        bytes_hbm = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
     except Exception:
-        flops = 0.0
+        flops, bytes_hbm = 0.0, 0.0
 
     # warm up (first execution may still pay transfers)
     state, terms = step(state, device_batch, jax.random.PRNGKey(1))
@@ -150,6 +152,14 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
 
     dt = min(times)
     mfu = (flops / dt) / PEAK_FLOPS.get(dtype, 197e12) if flops else None
+    # roofline: arithmetic intensity vs the v5e ridge point.  With XLA's
+    # per-program flops and HBM bytes, max achievable MFU is bounded by
+    # min(1, AI / (peak_flops / hbm_bw)) — if the program's AI sits below
+    # the ridge, HBM streaming (not the MXU) is the ceiling.
+    HBM_BW = 819e9  # v5e
+    ai = (flops / bytes_hbm) if bytes_hbm else None
+    ridge = PEAK_FLOPS.get(dtype, 197e12) / HBM_BW
+    roofline_mfu = min(1.0, ai / ridge) if ai else None
     return {
         "batch": B,
         "dtype": dtype,
@@ -160,6 +170,10 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
         "frames_per_s": round(B * T / dt, 0),
         "mfu_pct": round(100 * mfu, 1) if mfu is not None else None,
         "tflops_per_step": round(flops / 1e12, 2) if flops else None,
+        "hbm_gb_per_step": round(bytes_hbm / 1e9, 2) if bytes_hbm else None,
+        "arith_intensity": round(ai, 1) if ai else None,
+        "roofline_mfu_pct": (round(100 * roofline_mfu, 1)
+                             if roofline_mfu is not None else None),
         "compile_s": round(compile_s, 1),
         "loss": round(float(terms.total), 2),
         "pipelined": pipeline,

@@ -140,6 +140,33 @@ def test_int16_transport_dequantizes():
         / scale < 1e-3
 
 
+def test_scan_layers_matches_unrolled():
+    """scan_layers=True (one lax.scan over stacked params) == the unrolled
+    24-layer composition, with and without a frame mask."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    from diffsheg_tpu.models.hubert import HubertModel, stack_layer_params
+
+    hcfg = dc.replace(_tiny_hubert_cfg(), num_layers=3)
+    m_unroll = HubertModel(hcfg)
+    v = jax.jit(m_unroll.init)(jax.random.PRNGKey(0), jnp.zeros((1, 1600)))
+    m_scan = HubertModel(hcfg, scan_layers=True)
+    v_scan = stack_layer_params(v, hcfg.num_layers)
+
+    wave = jnp.asarray(
+        (np.random.RandomState(5).randn(2, 2000) * 0.1), jnp.float32)
+    a = np.asarray(m_unroll.apply(v, wave))
+    b = np.asarray(m_scan.apply(v_scan, wave))
+    np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
+
+    mask = jnp.asarray(np.arange(a.shape[1])[None, :]
+                       < np.asarray([a.shape[1], 3])[:, None])
+    am = np.asarray(m_unroll.apply(v, wave, mask))
+    bm = np.asarray(m_scan.apply(v_scan, wave, mask))
+    np.testing.assert_allclose(bm, am, atol=1e-6, rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # train-step integration
 # ---------------------------------------------------------------------------
