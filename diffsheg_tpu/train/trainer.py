@@ -77,16 +77,18 @@ class Trainer:
             from diffsheg_tpu.audio.frontend import make_speech_frontend
             frontend = make_speech_frontend(cfg, hubert_variables)
         self._frontend = frontend
-        # eval uses the same on-device features as training (one jit,
-        # called per eval batch — shapes are static per batch size)
+        # the frontend runs as its OWN jit feeding the unchanged train
+        # step (train_epoch and evaluate both call it): fusing it into the
+        # step program made the XLA compile pathological (>30 min vs ~80 s
+        # for the pieces — measured on the v5e backend), and the split
+        # costs one extra dispatch per step.  make_train_step still
+        # accepts frontend= for the fused variant (tests pin equality).
         self._frontend_jit = jax.jit(frontend) if frontend else None
         # two step variants: epoch-gated velocity/x0 terms
         self._step_full = make_train_step(cfg, self.schedule, mesh=self.mesh,
-                                          vel_loss_active=True,
-                                          frontend=frontend)
+                                          vel_loss_active=True)
         self._step_eps = make_train_step(cfg, self.schedule, mesh=self.mesh,
-                                         vel_loss_active=False,
-                                         frontend=frontend)
+                                         vel_loss_active=False)
         self.ckpt = CheckpointManager(f"{workdir}/ckpt")
         self.epoch = 0
         self.total_it = 0
@@ -139,6 +141,8 @@ class Trainer:
         with self.mesh:
             for batch in loader:
                 batch = shard_batch(self.mesh, self._to_model_batch(batch))
+                if self._frontend_jit is not None:
+                    batch = self._frontend_jit(batch)
                 self.state, terms = step_fn(self.state, batch, rng)
                 self.total_it += 1
                 count += 1
