@@ -95,6 +95,10 @@ def make_speech_frontend(
         # mel branch: 16k -> 18k -> log-free mel power, cropped to T frames
         # (data/beat.py::_mel_windows semantics)
         res = resample_poly_device(wave, cfg.data.mel_sr, cfg.data.audio_sr)
+        # barrier: letting XLA fuse the dilated resample conv into the
+        # STFT framing makes the TPU compile pathological (>8 min vs 20 s
+        # with the conv materialized — measured at B=1024 on v5e)
+        res = jax.lax.optimization_barrier(res)
         mel = mel_fe._compute(res)[..., :-1, :][:, :T]
         batch["mel"] = jax.lax.stop_gradient(mel)
 

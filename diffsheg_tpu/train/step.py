@@ -115,7 +115,11 @@ def make_train_step(
     feature extraction INSIDE the compiled step: the batch then carries raw
     ``wave16`` (B, S) audio instead of ``mel``/``hubert`` — ~1.9x fewer
     host->device bytes than shipping 1024-d features (the reference extracts
-    HuBERT on the host, ddpm_beat_trainer.py:1429-1475).
+    HuBERT on the host, ddpm_beat_trainer.py:1429-1475).  NOTE the
+    production Trainer does NOT fuse: it runs the frontend as its own jit
+    feeding this step (XLA compiled the fused program pathologically —
+    >25 min at batch 256 on v5e vs ~80 s for the separate programs); the
+    fused variant stays for the step-level equality tests.
     """
     from diffsheg_tpu.config import check_variance_coupling
     check_variance_coupling(cfg)

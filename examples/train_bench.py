@@ -29,6 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 # v5e peak: 197 TFLOP/s bf16 (f32 matmuls run through the same MXU via
 # passes at roughly half); used only for the MFU *estimate* column
 PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}

@@ -4,6 +4,8 @@ Oracles are independent numpy implementations of the published closed forms
 (DDPM/DDIM papers), evaluated in float64 — not a translation of any framework.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -190,6 +192,71 @@ class TestJumpSchedules:
         cur = ts[0]
         for i in range(len(t)):
             assert t[i] == cur
+            cur = cur - 1 if den[i] else cur + 1
+        assert cur == -1
+
+
+class TestGenericJumpSchedule:
+    """generic_jump_schedule: the reference's full get_schedule_jump knob
+    set (jump2/jump3/start_resampling/n_sample — defaulted-dead in every
+    shipped config, reference models/scheduler.py:70-148)."""
+
+    def test_defaults_degenerate_to_single_level(self):
+        from diffsheg_tpu.diffusion.jump import (generic_jump_schedule,
+                                                 jump_schedule)
+        for t_T, L, N in [(15, 3, 5), (15, 1, 2), (10, 2, 3), (250, 10, 10)]:
+            assert generic_jump_schedule(
+                t_T, jump_length=L, jump_n_sample=N) == \
+                jump_schedule(t_T, L, N)
+
+    @pytest.mark.parametrize("kw", [
+        dict(n_sample=3),
+        dict(jump_length=3, jump_n_sample=2, jump2_length=6,
+             jump2_n_sample=2),
+        dict(jump_length=2, jump_n_sample=2, jump2_length=4,
+             jump2_n_sample=2, jump3_length=8, jump3_n_sample=2),
+        dict(jump_length=3, jump_n_sample=4, start_resampling=8),
+        dict(n_sample=2, jump_length=5, jump_n_sample=3,
+             start_resampling=10),
+    ])
+    def test_matches_reference_oracle(self, kw):
+        """Walk-for-walk equality with the reference's own generator,
+        imported from the mounted tree (pure Python, no torch)."""
+        import importlib.util
+        path = "/root/reference/models/scheduler.py"
+        if not os.path.exists(path):
+            pytest.skip("reference tree not mounted")
+        spec = importlib.util.spec_from_file_location("_ref_sched", path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        from diffsheg_tpu.diffusion.jump import generic_jump_schedule
+        t_T = 15
+        ours = generic_jump_schedule(t_T, **kw)
+        theirs = ref.get_schedule_jump(
+            t_T,
+            n_sample=kw.get("n_sample", 1),
+            jump_length=kw.get("jump_length", 1),
+            jump_n_sample=kw.get("jump_n_sample", 1),
+            jump2_length=kw.get("jump2_length", 1),
+            jump2_n_sample=kw.get("jump2_n_sample", 1),
+            jump3_length=kw.get("jump3_length", 1),
+            jump3_n_sample=kw.get("jump3_n_sample", 1),
+            start_resampling=kw.get("start_resampling", 10 ** 8),
+        )
+        assert ours == theirs
+
+    def test_compiles_to_program(self):
+        from diffsheg_tpu.diffusion.jump import generic_jump_schedule
+        ts = generic_jump_schedule(15, jump_length=3, jump_n_sample=2,
+                                   jump2_length=6, jump2_n_sample=2)
+        prog = make_step_program(ts)
+        assert prog.num_transitions == len(ts) - 1
+        # walk semantics hold end-to-end
+        cur = ts[0]
+        den = np.asarray(prog.denoise)
+        for i, t in enumerate(np.asarray(prog.t)):
+            assert t == cur
             cur = cur - 1 if den[i] else cur + 1
         assert cur == -1
 
