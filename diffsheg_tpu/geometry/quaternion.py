@@ -20,6 +20,7 @@ __all__ = [
     "qmul", "qinv", "qrot", "qeuler", "qslerp", "qnormalize", "qbetween",
     "axis_angle_to_quaternion", "quaternion_to_axis_angle",
     "matrix_to_cont6d", "cont6d_to_matrix", "quaternion_to_cont6d",
+    "qfix", "qpow", "expmap_to_quaternion", "euler_to_quaternion",
 ]
 
 
@@ -130,3 +131,64 @@ def cont6d_to_matrix(c: jnp.ndarray) -> jnp.ndarray:
     b2 = b2 / jnp.maximum(jnp.linalg.norm(b2, axis=-1, keepdims=True), 1e-8)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
+
+
+def qfix(q: jnp.ndarray) -> jnp.ndarray:
+    """Enforce sign continuity along the leading (time) axis: flip each
+    frame's quaternion to the hemisphere of its predecessor (reference
+    utils/quaternion.py:149-167, there via boolean-mask assignment —
+    branch-free cumulative-parity form here).  (L, ..., 4) -> same shape."""
+    dots = jnp.sum(q[1:] * q[:-1], axis=-1)
+    flip = (jnp.cumsum((dots < 0).astype(jnp.int32), axis=0) % 2) == 1
+    sign = jnp.where(flip, -1.0, 1.0)
+    sign = jnp.concatenate([jnp.ones_like(sign[:1]), sign], axis=0)
+    return q * sign[..., None]
+
+
+def expmap_to_quaternion(e: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (exponential map) (*, 3) -> quaternion (*, 4); the
+    sinc-stable half-angle formula (reference utils/quaternion.py:214-231)."""
+    theta = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    w = jnp.cos(0.5 * theta)
+    xyz = 0.5 * jnp.sinc(0.5 * theta / jnp.pi) * e
+    return jnp.concatenate([w, xyz], axis=-1)
+
+
+def euler_to_quaternion(e: jnp.ndarray, order: str = "xyz",
+                        degrees: bool = False) -> jnp.ndarray:
+    """Euler angles (*, 3) -> quaternion (*, 4), composing per-axis
+    half-angle quaternions in ``order`` (reference
+    utils/quaternion.py:169-272 euler2quat/euler_to_quaternion; their
+    ``deg=True`` default is ``degrees=True`` here).  For right-handed
+    orders (xyz/yzx/zxy) the antipodal flip keeps w >= 0, matching the
+    reference's sign convention."""
+    if degrees:
+        e = e * (jnp.pi / 180.0)
+    half = 0.5 * e
+    c, s = jnp.cos(half), jnp.sin(half)
+    zero = jnp.zeros_like(c[..., 0])
+    axis_q = {
+        "x": jnp.stack([c[..., 0], s[..., 0], zero, zero], axis=-1),
+        "y": jnp.stack([c[..., 1], zero, s[..., 1], zero], axis=-1),
+        "z": jnp.stack([c[..., 2], zero, zero, s[..., 2]], axis=-1),
+    }
+    out = axis_q[order[0]]
+    for axis in order[1:]:
+        out = qmul(out, axis_q[axis])
+    if order in ("xyz", "yzx", "zxy"):
+        out = -out
+    return out
+
+
+def qpow(q: jnp.ndarray, t) -> jnp.ndarray:
+    """Quaternion power q**t via the axis-angle logarithm (reference
+    utils/quaternion.py:344-367).  ``t`` broadcasts against q[..., 0];
+    near-identity quaternions are epsilon-guarded like the reference."""
+    q = qnormalize(q)
+    theta0 = jnp.arccos(jnp.clip(q[..., 0], -1.0, 1.0))
+    theta0 = jnp.where(jnp.abs(theta0) <= 1e-9, 1e-9, theta0)
+    v0 = q[..., 1:] / jnp.sin(theta0)[..., None]
+    theta = jnp.asarray(t) * theta0
+    return jnp.concatenate(
+        [jnp.cos(theta)[..., None], v0 * jnp.sin(theta)[..., None]],
+        axis=-1)

@@ -276,3 +276,79 @@ class TestFaceJsonSingleFrame:
         back = face_mod.read_face_json(p)
         assert back.shape == (1, 51)
         np.testing.assert_allclose(back, w)
+
+
+class TestQuaternionExtendedOracle:
+    """qfix/expmap/euler_to_quaternion/qpow vs the reference's own
+    implementations imported from the mounted tree (numpy/torch)."""
+
+    @staticmethod
+    def _ref():
+        import importlib.util, os
+        path = "/root/reference/utils/quaternion.py"
+        if not os.path.exists(path):
+            import pytest as _pt
+            _pt.skip("reference tree not mounted")
+        spec = importlib.util.spec_from_file_location("_ref_quat", path)
+        mod = importlib.util.module_from_spec(spec)
+        # the reference predates numpy 1.24's removal of the np.float
+        # alias; shim it for the duration of the module exec + calls
+        if not hasattr(np, "float"):
+            np.float = float  # noqa: NPY001
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_qfix_matches_reference(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.geometry.quaternion import qfix, qnormalize
+        ref = self._ref()
+        rng = np.random.RandomState(0)
+        q = np.asarray(qnormalize(jnp.asarray(rng.randn(20, 5, 4))),
+                       np.float64)
+        np.testing.assert_allclose(np.asarray(qfix(jnp.asarray(q))),
+                                   ref.qfix(q.copy()), atol=1e-6)
+
+    def test_qfix_is_continuous(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.geometry.quaternion import qfix, qnormalize
+        rng = np.random.RandomState(1)
+        q = qnormalize(jnp.asarray(rng.randn(30, 3, 4)))
+        out = np.asarray(qfix(q))
+        dots = np.sum(out[1:] * out[:-1], axis=-1)
+        assert (dots >= -1e-6).all()
+
+    def test_expmap_matches_reference(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.geometry.quaternion import expmap_to_quaternion
+        ref = self._ref()
+        rng = np.random.RandomState(2)
+        e = rng.randn(64, 3) * 2.0
+        np.testing.assert_allclose(
+            np.asarray(expmap_to_quaternion(jnp.asarray(e))),
+            ref.expmap_to_quaternion(e), atol=1e-6)
+
+    def test_euler_to_quaternion_matches_reference(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.geometry.quaternion import euler_to_quaternion
+        ref = self._ref()
+        rng = np.random.RandomState(3)
+        e = rng.uniform(-np.pi, np.pi, size=(32, 3))
+        for order in ("xyz", "zyx", "zxy"):
+            np.testing.assert_allclose(
+                np.asarray(euler_to_quaternion(jnp.asarray(e), order)),
+                ref.euler_to_quaternion(e, order), atol=1e-6)
+
+    def test_qpow_properties(self):
+        import jax.numpy as jnp
+        from diffsheg_tpu.geometry.quaternion import (
+            axis_angle_to_quaternion, qmul, qnormalize, qpow)
+        rng = np.random.RandomState(4)
+        axis = rng.randn(8, 3)
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        q = axis_angle_to_quaternion(jnp.asarray(axis * 0.7))
+        # q^2 == q * q;  q^1 == q
+        np.testing.assert_allclose(np.asarray(qpow(q, 2.0)),
+                                   np.asarray(qnormalize(qmul(q, q))),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(qpow(q, 1.0)), np.asarray(q),
+                                   atol=1e-5)
