@@ -223,13 +223,21 @@ def main():
         print(json.dumps(r), flush=True)
         return
     if os.environ.get("TRAIN_BENCH_FRONTEND"):
-        # the on-device-frontend pair: resident raw-audio step (exposes the
-        # in-step mel+HuBERT compute cost) and the same step fed by the
-        # production loader (exposes the shrunken host->device transfer)
-        for pipe in (False, True):
-            r = measure(1024, "bfloat16", reps=4, pipeline=pipe,
-                        frontend=True)
-            print(json.dumps(r), flush=True)
+        # the on-device-frontend pairs: resident raw-audio step (exposes
+        # the on-device mel+HuBERT compute cost) and the same step fed by
+        # the production loader (exposes the shrunken host->device
+        # transfer), plus the same two points for the precomputed-features
+        # baseline at the same batch.  TRAIN_BENCH_FRONTEND=<batch> sets
+        # the batch (any non-numeric truthy value = 1024).
+        try:
+            fb = int(os.environ["TRAIN_BENCH_FRONTEND"])
+        except ValueError:
+            fb = 1024
+        for fe_mode in (True, False):
+            for pipe in (False, True):
+                r = measure(fb, "bfloat16", reps=4, pipeline=pipe,
+                            frontend=fe_mode)
+                print(json.dumps(r), flush=True)
         return
     if os.environ.get("TRAIN_BENCH_MATRIX"):
         rows = []

@@ -10,6 +10,10 @@ examples/curves/convergence.json (examples/convergence_demo.py); this test
 runs the same harness shortened (10 epochs, eval every 2) — ~2.5 min CPU.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-running: excluded from the core tier (pytest -m "not slow")
+
 import json
 import os
 import sys

@@ -13,6 +13,10 @@ tractable on the CPU test platform; the weights are still genuine reference
 audio is the genuine shipped 24-bit wav (truncated to 8 s).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-running: excluded from the core tier (pytest -m "not slow")
+
 import json
 import os
 import sys

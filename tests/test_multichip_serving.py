@@ -12,6 +12,10 @@ trainers/ddpm_beat_trainer.py:1269-1311); here 8 virtual devices each
 take a slice of the style batch.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-running: excluded from the core tier (pytest -m "not slow")
+
 import dataclasses
 
 import jax

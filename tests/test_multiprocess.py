@@ -13,6 +13,10 @@ init); it is marked ``slow``-adjacent but kept in the default run because it
 is the only coverage of real cross-process execution.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-running: excluded from the core tier (pytest -m "not slow")
+
 import os
 
 import jax

@@ -8,6 +8,10 @@ IDENTICAL batches, timesteps, and diffusion noise.  Asserts the loss curves
 track — proving training, not just the forward pass, is the same process.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # long-running: excluded from the core tier (pytest -m "not slow")
+
 import os
 import sys
 from types import SimpleNamespace
