@@ -94,6 +94,12 @@ class ModelConfig:
     # trades backward-pass recompute FLOPs for HBM, fitting the reference's
     # global batch 2500 on one chip (PERF.md training ladder)
     remat: bool = False
+    # run each branch's transformer stack as ONE lax.scan over
+    # layer-stacked params: identical math (tests pin it), ~num_layers x
+    # smaller HLO and far faster XLA compiles.  Changes the parameter
+    # layout — convert existing checkpoints with
+    # models.factory.{stack,unstack}_scan_layers
+    scan_layers: bool = False
     compute_dtype: str = "float32"  # dtype for matmuls inside the denoiser
 
     @property

@@ -61,6 +61,52 @@ class HubertConvEncoder(nn.Module):
         return x
 
 
+class _ScanLayerNoMod(nn.Module):
+    """nn.scan body for the transformer stack (no precomputed mods):
+    carry = hidden state; everything else broadcast.  Params live under
+    ``layers/layer`` with a leading layer axis (scan_layers layout)."""
+
+    latent_dim: int
+    ffn_dim: int
+    num_heads: int
+    dtype: jnp.dtype
+    dropout: float
+    model_base: str
+    remat: bool = False
+
+    def _layer_cls(self):
+        if self.remat:
+            return nn.remat(DiffusionTransformerLayer, static_argnums=(7,))
+        return DiffusionTransformerLayer
+
+    @nn.compact
+    def __call__(self, h, cond, emb, src_mask, null_cond_mask,
+                 null_cond_emb, train):
+        h = self._layer_cls()(
+            self.latent_dim, self.ffn_dim, self.num_heads,
+            dtype=self.dtype, dropout=self.dropout,
+            model_base=self.model_base, name="layer",
+        )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb, train,
+          None)
+        return h, None
+
+
+class _ScanLayerMod(_ScanLayerNoMod):
+    """Scan body for the level-cache path: per-layer stylization mods are
+    the scanned-over xs (the cache already stacks them on a layer axis)."""
+
+    @nn.compact
+    def __call__(self, h, mod, cond, emb, src_mask, null_cond_mask,
+                 null_cond_emb, train):
+        h = self._layer_cls()(
+            self.latent_dim, self.ffn_dim, self.num_heads,
+            dtype=self.dtype, dropout=self.dropout,
+            model_base=self.model_base, name="layer",
+        )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb, train,
+          mod)
+        return h, None
+
+
 class MotionDenoiser(nn.Module):
     """One denoising branch.
 
@@ -102,6 +148,13 @@ class MotionDenoiser(nn.Module):
     # per-layer activation rematerialisation for training (backward-pass
     # recompute instead of stored activations; see the stack loop)
     remat: bool = False
+    # run the num_layers identical transformer layers as ONE lax.scan over
+    # layer-stacked parameters instead of an unrolled loop: same math
+    # (tests pin equality), ~num_layers x less HLO — unrolled 8+8-layer
+    # fwd+bwd programs exceed this environment's compile-service limits.
+    # Parameter layout changes (one `layers/layer` subtree with a leading
+    # layer axis); convert with models.factory.{stack,unstack}_scan_layers.
+    scan_layers: bool = False
     # text/emotion conditioning (see ModelConfig.add_text_cond notes)
     word_f: int = 128
     emotion_f: int = 8
@@ -273,21 +326,45 @@ class MotionDenoiser(nn.Module):
         # makes the reference's global batch (2500) fit one chip's HBM
         # (PERF.md training ladder).  static_argnums counts self at 0, so
         # ``train`` (a python bool) is argnum 7.
-        layer_cls = DiffusionTransformerLayer
-        if self.remat and train:
-            layer_cls = nn.remat(DiffusionTransformerLayer,
-                                 static_argnums=(7,))
-        for i in range(self.num_layers):
-            h = layer_cls(
-                self.latent_dim,
-                self.ff_size,
-                self.num_heads,
-                dtype=compute,
-                dropout=self.dropout,
-                model_base=self.model_base,
-                name=f"layer_{i}",
-            )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb,
-              train, None if mods is None else mods[i])
+        if self.scan_layers:
+            body_kw = dict(latent_dim=self.latent_dim, ffn_dim=self.ff_size,
+                           num_heads=self.num_heads, dtype=compute,
+                           dropout=self.dropout, model_base=self.model_base,
+                           remat=self.remat and train)
+            scan_kw = dict(variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True})
+            if mods is None:
+                scanned = nn.scan(_ScanLayerNoMod, in_axes=nn.broadcast,
+                                  length=self.num_layers, **scan_kw)(
+                    **body_kw, name="layers")
+                h, _ = scanned(h, cond, emb, src_mask, null_cond_mask,
+                               null_cond_emb, train)
+            else:
+                # the level cache already stacks mods on a leading layer
+                # axis — exactly the scan's xs layout
+                scanned = nn.scan(
+                    _ScanLayerMod,
+                    in_axes=(0,) + (nn.broadcast,) * 6,
+                    length=self.num_layers, **scan_kw)(
+                    **body_kw, name="layers")
+                h, _ = scanned(h, mods, cond, emb, src_mask,
+                               null_cond_mask, null_cond_emb, train)
+        else:
+            layer_cls = DiffusionTransformerLayer
+            if self.remat and train:
+                layer_cls = nn.remat(DiffusionTransformerLayer,
+                                     static_argnums=(7,))
+            for i in range(self.num_layers):
+                h = layer_cls(
+                    self.latent_dim,
+                    self.ff_size,
+                    self.num_heads,
+                    dtype=compute,
+                    dropout=self.dropout,
+                    model_base=self.model_base,
+                    name=f"layer_{i}",
+                )(h, cond, emb, src_mask, null_cond_mask, null_cond_emb,
+                  train, None if mods is None else mods[i])
 
         out_feats = self.input_feats * (2 if self.learned_variance else 1)
         out = nn.Dense(out_feats, dtype=compute, name="out")(h)

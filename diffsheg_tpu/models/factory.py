@@ -89,6 +89,7 @@ class SingleBranchDenoiser(nn.Module):
             cond_scale=c.cond_scale,
             learned_variance=c.learned_variance,
             remat=c.remat,
+            scan_layers=c.scan_layers,
             model_base=c.model_base,
             dropout=c.dropout,
             word_f=c.word_f, emotion_f=c.emotion_f,
@@ -147,6 +148,41 @@ def host_init(init_fn, *args, **kw):
     with jax.default_device(cpu):
         variables = init_fn(*args, **kw)
     return jax.tree.map(np.asarray, variables)
+
+
+def stack_scan_layers(params, num_layers: int):
+    """Unrolled parameter tree -> the ``scan_layers=True`` layout.
+
+    Walks the tree; wherever a subtree holds ``layer_0..layer_{N-1}``
+    siblings (each denoiser branch, and the audio encoder is unaffected),
+    they are replaced by one ``layers/layer`` subtree whose leaves gain a
+    leading layer axis.  Use on existing checkpoints when enabling
+    ``model.scan_layers``; :func:`unstack_scan_layers` is the inverse
+    (needed to export a scan-trained checkpoint to the reference layout).
+    """
+    out = {}
+    for k, v in params.items():
+        out[k] = (stack_scan_layers(v, num_layers)
+                  if isinstance(v, dict) else v)
+    if "layer_0" in out:
+        per = [out.pop(f"layer_{i}") for i in range(num_layers)]
+        out["layers"] = {"layer": jax.tree.map(
+            lambda *xs: jnp.stack(xs), *per)}
+    return out
+
+
+def unstack_scan_layers(params, num_layers: int):
+    """Inverse of :func:`stack_scan_layers`."""
+    out = {}
+    for k, v in params.items():
+        out[k] = (unstack_scan_layers(v, num_layers)
+                  if isinstance(v, dict) else v)
+    if "layers" in out and isinstance(out["layers"], dict) \
+            and set(out["layers"].keys()) == {"layer"}:
+        stacked = out.pop("layers")["layer"]
+        for i in range(num_layers):
+            out[f"layer_{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
+    return out
 
 
 def init_denoiser(cfg: ModelConfig, n_poses: int, rng: jax.Array,

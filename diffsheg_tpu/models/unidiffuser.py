@@ -95,6 +95,7 @@ class UniDiffuser(nn.Module):
             cond_scale=c.cond_scale,
             learned_variance=c.learned_variance,
             remat=c.remat,
+            scan_layers=c.scan_layers,
             model_base=c.model_base,
             dropout=c.dropout,
             word_f=c.word_f, emotion_f=c.emotion_f,

@@ -50,12 +50,16 @@ def build(batch: int, dtype: str, remat: bool = False,
     from diffsheg_tpu.train.step import create_train_state, make_train_step
 
     cfg = beat_config()
-    if dtype != "float32" or remat:
+    # TRAIN_BENCH_SCAN=1: transformer stacks as one lax.scan (identical
+    # math, ~8x smaller HLO per branch — the unrolled fwd+bwd program
+    # exceeds this environment's compile-service limits)
+    scan = bool(os.environ.get("TRAIN_BENCH_SCAN"))
+    if dtype != "float32" or remat or scan:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model,
             compute_dtype=dtype if dtype != "float32"
             else cfg.model.compute_dtype,
-            remat=remat))
+            remat=remat, scan_layers=scan))
     _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
                                     jax.random.PRNGKey(0))
     sched = make_schedule(get_named_beta_schedule(

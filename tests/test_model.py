@@ -309,3 +309,82 @@ class TestSpeechEncoderModes:
                 jnp.zeros((B, cfg.style_dim)),
                 hubert=jnp.zeros((B, T, hd)), train=False)
             assert out.shape == (B, T, cfg.motion_dim), mode
+
+
+class TestScanLayers:
+    """model.scan_layers: the branch stacks as ONE lax.scan over
+    layer-stacked params — identical math to the unrolled loop, with
+    {stack,unstack}_scan_layers converting between the two layouts."""
+
+    def _pair(self, **kw):
+        from diffsheg_tpu.models.factory import stack_scan_layers
+        from diffsheg_tpu.models.unidiffuser import UniDiffuser
+
+        cfg = tiny_model_cfg(num_layers=3, add_hubert=False, **kw)
+        _, v = init_unidiffuser(cfg, 12, jax.random.PRNGKey(0))
+        cfg_scan = dataclasses.replace(cfg, scan_layers=True)
+        v_scan = {"params": stack_scan_layers(v["params"], cfg.num_layers)}
+        return (cfg, UniDiffuser(cfg), v,
+                cfg_scan, UniDiffuser(cfg_scan), v_scan)
+
+    def test_forward_matches_unrolled(self):
+        cfg, m, v, cfg_s, m_s, v_s = self._pair()
+        x, t, sa, mel, pid, hub = make_inputs(cfg, T=12)
+        a = np.asarray(m.apply(v, x, t, sa, mel, pid))
+        b = np.asarray(m_s.apply(v_s, x, t, sa, mel, pid))
+        np.testing.assert_allclose(b, a, atol=1e-6, rtol=1e-6)
+
+    def test_converter_roundtrip(self):
+        from diffsheg_tpu.models.factory import (stack_scan_layers,
+                                                 unstack_scan_layers)
+        cfg = tiny_model_cfg(num_layers=3, add_hubert=False)
+        _, v = init_unidiffuser(cfg, 12, jax.random.PRNGKey(1))
+        back = unstack_scan_layers(
+            stack_scan_layers(v["params"], 3), 3)
+        flat_a = jax.tree_util.tree_leaves_with_path(v["params"])
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+        assert len(flat_a) == len(flat_b)
+        for path, leaf in flat_a:
+            np.testing.assert_array_equal(np.asarray(flat_b[path]),
+                                          np.asarray(leaf))
+
+    def test_train_step_matches_unrolled(self):
+        from diffsheg_tpu.config import beat_config
+        from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,
+                                                     make_schedule)
+        from diffsheg_tpu.models.factory import stack_scan_layers
+        from diffsheg_tpu.train.step import (create_train_state,
+                                             make_train_step)
+
+        base = beat_config()
+        cfg = base.replace(
+            model=tiny_model_cfg(num_layers=3, add_hubert=False),
+            data=dataclasses.replace(base.data, n_poses=12))
+        _, v = init_unidiffuser(cfg.model, 12, jax.random.PRNGKey(2))
+        cfg_s = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                      scan_layers=True))
+        v_s = {"params": stack_scan_layers(v["params"],
+                                           cfg.model.num_layers)}
+        sched = make_schedule(get_named_beta_schedule(
+            cfg.diffusion.beta_schedule, cfg.diffusion.num_steps))
+
+        rng = np.random.RandomState(0)
+        B, T = 4, 12
+        batch = {
+            "motion": jnp.asarray(rng.randn(B, T, cfg.model.motion_dim),
+                                  jnp.float32),
+            "mel": jnp.asarray(rng.randn(B, T, cfg.model.audio_dim),
+                               jnp.float32),
+            "pid": jnp.eye(cfg.model.style_dim)[
+                jnp.arange(B) % cfg.model.style_dim],
+            "sem": jnp.full((B, T), 0.5),
+        }
+        sa = create_train_state(cfg, v)
+        sb = create_train_state(cfg_s, v_s)
+        _, ta = make_train_step(cfg, sched)(sa, dict(batch),
+                                            jax.random.PRNGKey(7))
+        _, tb = make_train_step(cfg_s, sched)(sb, dict(batch),
+                                              jax.random.PRNGKey(7))
+        a, b = float(ta.total), float(tb.total)
+        assert np.isfinite(a)
+        assert abs(a - b) <= 1e-4 * max(1.0, abs(a)), (a, b)
