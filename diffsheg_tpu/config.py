@@ -172,11 +172,14 @@ class DiffusionConfig:
     quantize: str = "none"    # {'none','int8','int4'}: weight-only per-
                               # output-channel quantization for the fused
                               # serving path's transformer stack
-                              # (ops/fused_layer.py LayerScales) — halves
-                              # (int8) or quarters (int4, nibble-packed)
-                              # its HBM weight traffic per denoise step;
-                              # approximate (measured drift in PERF.md),
-                              # opt-in, requires the fused_layer fast path
+                              # (ops/fused_layer.py LayerScales) — int8
+                              # halves its HBM weight traffic per denoise
+                              # step (4233 FPS chain, drift in PERF.md);
+                              # approximate, opt-in, requires the
+                              # fused_layer fast path.  int4 is
+                              # EXPERIMENTAL and measured SLOW on real
+                              # TPU (PERF.md "int4: a negative result")
+                              # — serve int8
 
 
 @dataclass(frozen=True)

@@ -221,16 +221,24 @@ def _layer_math(x, feats, mod_sa, mod_ffn, lp: LayerParams,
     def mm(a, w, b, s=None):
         if s is not None and w.shape[-1] * 2 == s.shape[-1]:
             # nibble-packed int4 (see quantize_layer_params): high nibble
-            # = left column half, low = right half.  int8-native shifts
-            # sign-extend both nibbles without widening the (K, N/2)
-            # block to i32, and the two half-width dots concat on the
-            # (T, N/2) f32 accumulators instead of materialising a
-            # (K, N) weight copy (K >> T at serving shapes) — HBM
-            # already streamed half of int8's bytes.
+            # = left column half, low = right half.  The unpack runs in
+            # f32 (floor-division for the arithmetic-shift semantics,
+            # wrap-select to sign-extend the low nibble) because Mosaic
+            # cannot legalize vector shifts on i8 operands on real TPU
+            # (`arith.shrsi` on vector<...xi8> — found the first time this
+            # kernel hit actual hardware; interpret mode accepts them).
+            # Exact: every intermediate is an integer below 2^7.  The two
+            # half-width dots concat on the (T, N/2) f32 accumulators
+            # instead of materialising a (K, N) weight copy (K >> T at
+            # serving shapes) — HBM already streamed half of int8's bytes.
             ac = a.astype(cdtype)
+            wf = w.astype(f32)
+            hi = jnp.floor(wf * (1.0 / 16.0))
+            lo = wf - 16.0 * hi
+            lo = lo - jnp.where(lo >= 8.0, 16.0, 0.0)
             y = jnp.concatenate(
-                [dot(ac, (w >> 4).astype(cdtype)),
-                 dot(ac, ((w << 4) >> 4).astype(cdtype))], axis=-1)
+                [dot(ac, hi.astype(cdtype)),
+                 dot(ac, lo.astype(cdtype))], axis=-1)
             return y * s.astype(f32) + b.astype(f32)
         if s is not None:
             w = w.astype(cdtype)
