@@ -63,6 +63,12 @@ def main():
         from diffsheg_tpu.compat.hubert_ckpt import load_hf_hubert
         variables = load_hf_hubert(args.hubert_checkpoint)
     ex = HubertFeatureExtractor(variables=variables)
+    # scanned encoder: identical math (tests pin it), ~24x smaller HLO —
+    # the unrolled 24-layer program compiles pathologically slowly on
+    # this environment's compile service
+    from diffsheg_tpu.models.hubert import HubertModel, stack_layer_params
+    ex.model = HubertModel(ex.cfg, scan_layers=True)
+    ex.variables = stack_layer_params(ex.variables, ex.cfg.num_layers)
 
     # offline oracle: whole-stream chunked extraction at the motion rate
     offline = np.asarray(ex(jnp.asarray(audio), target_frames=T_total))[0]
