@@ -120,6 +120,7 @@ def test_learned_variance_output_layout():
         == 2 * cfg.expression_dim
 
 
+@pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
 def test_learned_variance_train_step_hybrid_vlb():
     """make_train_step with a learned-variance model: total finite, vb term
     non-zero, and the vb gradient reaches only the variance half of the out
@@ -302,6 +303,7 @@ def test_variance_coupling_validated_early():
     with pytest.raises(ValueError, match="learned_variance"):
         resolve(bad)
 
+@pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
 def test_learned_variance_hybrid_overfits():
     """The hybrid objective actually LEARNS: ~80 steps on a fixed batch
     drive both the eps loss and the VLB term down (the variance head

@@ -185,6 +185,7 @@ class TestInt8Quantization:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
     def test_generator_int8_close_to_full(self):
         """diffusion.quantize='int8' end-to-end through the generator:
         runs, and tracks the unquantized sampler closely."""
@@ -333,6 +334,7 @@ class TestEngineParity:
     def test_expr_id_off(self):
         self._compare(tiny(beat_config(), expr_id_off=True), seed=2)
 
+    @pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
     def test_show_cfg(self):
         cfg = tiny(show_config())
         assert cfg.model.uses_cfg_at_inference

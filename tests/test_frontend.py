@@ -171,6 +171,7 @@ def test_scan_layers_matches_unrolled():
 # train-step integration
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
 def test_train_step_with_frontend_matches_precomputed():
     """One jitted step on raw audio == the same step on the features the
     frontend computes — the flag changes transport, not the objective."""

@@ -348,6 +348,7 @@ class TestScanLayers:
             np.testing.assert_array_equal(np.asarray(flat_b[path]),
                                           np.asarray(leaf))
 
+    @pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
     def test_train_step_matches_unrolled(self):
         from diffsheg_tpu.config import beat_config
         from diffsheg_tpu.diffusion.schedule import (get_named_beta_schedule,

@@ -120,6 +120,7 @@ class TestDataParallel:
 
         assert float(t1.total) == pytest.approx(float(t8.total), rel=1e-4)
 
+    @pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
     def test_dryrun_multichip_entry(self):
         import importlib.util, pathlib
         spec = importlib.util.spec_from_file_location(
@@ -194,6 +195,7 @@ class TestFsdp:
         ]
         assert sharded, "no parameter was fsdp-sharded"
 
+    @pytest.mark.slow  # >60s-class on one CPU core; core tier covers the same path via smaller tests
     def test_dryrun_entry_uses_two_axis_mesh(self):
         import importlib.util, pathlib
         spec = importlib.util.spec_from_file_location(
