@@ -21,7 +21,15 @@ so it also exercises, on a real downward trend:
 
 Run:  python examples/convergence_demo.py [epochs]   (default 60, CPU ok)
 Writes <workdir>/metrics.jsonl and prints the eval curve; the committed
-curve from a 60-epoch run lives in ``examples/curves/convergence.json``.
+curve from a 240-epoch run lives in ``examples/curves/convergence.json``:
+val MSE 1263 -> 1.9 (665x), FGD 46794 -> 23, diversity contracting to the
+target distribution's.  PCK rises 0.004 -> 0.017 and then plateaus — a
+structural property of the metric at this scale, not a training stall:
+PCK counts joints within 0.5 of the target on z-normalized channels, so
+it only moves once per-joint error drops BELOW 0.5, and the demo-sized
+model's conditional-mean floor (val MSE ~1.3 at DDIM-10) sits above
+that.  The convergence claim rests on the three metrics that measure
+distance to the target at every scale.
 """
 
 from __future__ import annotations
