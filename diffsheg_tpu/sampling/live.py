@@ -21,6 +21,11 @@ Fixed compiled signatures (nothing recompiles as audio grows):
     shape.  This DIFFERS from the offline chunker, which attends over
     20 s clips (audio/hubert_runner.py) — a documented live-mode
     approximation; quality-critical offline use should batch-process.
+    ``hubert_ctx_s > 0`` shrinks the gap: each window's encode prepends
+    that many seconds of already-captured audio (left context is always
+    available live) and slices the window's frames back out via the
+    encoder's frame mask — still ONE static compile signature
+    (left-zero-padded + masked while the stream is young).
   - sampler: the same compiled window programs the offline streamer uses
     (plain first window, RePaint continuation windows), same per-window
     key chain, so a session and the offline host-loop path walk identical
@@ -81,7 +86,8 @@ class LiveSession:
     def create(cls, cfg, variables, person_id: jax.Array, rng: jax.Array,
                window_frames: int = 0, overlap: int = 0,
                hubert_extractor=None, gen_cache: Optional[dict] = None,
-               retain: bool = True) -> "LiveSession":
+               retain: bool = True,
+               hubert_ctx_s: float = 0.0) -> "LiveSession":
         """Build a session, optionally at a REDUCED live window size.
 
         The denoiser is window-length-agnostic (attention + per-frame
@@ -141,10 +147,11 @@ class LiveSession:
             if gen_cache is not None:
                 gen_cache[key] = gen
         return cls(gen, person_id, rng, hubert_extractor=hubert_extractor,
-                   retain=retain)
+                   retain=retain, hubert_ctx_s=hubert_ctx_s)
 
     def __init__(self, gen: WindowGenerator, person_id: jax.Array,
-                 rng: jax.Array, hubert_extractor=None, retain: bool = True):
+                 rng: jax.Array, hubert_extractor=None, retain: bool = True,
+                 hubert_ctx_s: float = 0.0):
         cfg = gen.cfg
         self.gen = gen
         self.cfg = cfg
@@ -186,6 +193,49 @@ class LiveSession:
             self.sr, self.n_fft, self.hop, d.n_mels)
         self._seg_len = (self.size - 1) * self.hop + self.n_fft
 
+        # hubert_ctx_s > 0: LEFT-CONTEXT speech features — each window's
+        # HuBERT encode prepends up to ctx seconds of already-captured
+        # audio (always available live; audio after the window never is)
+        # and slices the window's frames back out via the encoder's frame
+        # mask, shrinking the window-local approximation's drift from the
+        # offline whole-stream chunker.  One static compile signature:
+        # the segment is left-zero-padded to ctx+window samples while the
+        # stream is younger than ctx, normalization runs over the real
+        # samples only, and frames whose receptive field touches the pad
+        # are masked off.
+        self._hub_ctx = int(round(hubert_ctx_s * 16000))
+        if self.hubert_fe is not None and self._hub_ctx > 0:
+            from diffsheg_tpu.audio.hubert_runner import (STRIDE,
+                                                          expected_frames,
+                                                          linear_resample)
+            n_win = int(self.size / self.fps * 16000)
+            ext_len = self._hub_ctx + n_win
+            ext_frames = expected_frames(ext_len)
+            f0 = self._hub_ctx // STRIDE
+            want = expected_frames(n_win)
+            model = self.hubert_fe.model
+            variables = self.hubert_fe.variables
+            out_frames = self.size
+            self._hub_n_win = n_win
+            self._hub_ext_len = ext_len
+
+            @jax.jit
+            def encode_ctx(seg, pad_left):
+                # masked normalization over the real samples
+                idx = jnp.arange(ext_len)
+                valid = (idx >= pad_left).astype(jnp.float32)
+                n_valid = jnp.maximum(ext_len - pad_left, 1).astype(
+                    jnp.float32)
+                mean = (seg * valid).sum() / n_valid
+                var = (((seg - mean) * valid) ** 2).sum() / n_valid
+                segn = (seg - mean) * jax.lax.rsqrt(var + 1e-7) * valid
+                first_valid = -(-pad_left // STRIDE)  # RF clear of the pad
+                mask = jnp.arange(ext_frames)[None, :] >= first_valid
+                feats = model.apply(variables, segn[None], mask)
+                return linear_resample(feats[:, f0:f0 + want], out_frames)
+
+            self._encode_ctx = encode_ctx
+
     # -- audio bookkeeping -------------------------------------------------
     @property
     def duration(self) -> float:
@@ -222,6 +272,8 @@ class LiveSession:
             self._base = keep
         if self.hubert_fe is not None:
             keep16 = int((self._next_start - self.step) / self.fps * 16000)
+            # left-context mode reads ctx seconds before the window
+            keep16 = max(0, keep16 - self._hub_ctx)
             if keep16 > self._base16:
                 self._audio16 = self._audio16[keep16 - self._base16:]
                 self._base16 = keep16
@@ -271,6 +323,17 @@ class LiveSession:
         # the max(0, n16-n) fallback can precede the trim point when the
         # 16k stream lags the mel stream; clamp (end-padded below)
         lo = max(lo, self._base16)
+        if self._hub_ctx > 0:
+            # left-context variant (see __init__): one static signature
+            lo_ext = lo - self._hub_ctx
+            avail = max(lo_ext, self._base16)
+            pad_left = avail - lo_ext
+            seg = self._audio16[avail - self._base16:
+                                lo + n - self._base16]
+            seg = np.pad(
+                seg, (pad_left, self._hub_ext_len - pad_left - len(seg)))
+            return self._encode_ctx(jnp.asarray(seg),
+                                    jnp.int32(pad_left))
         seg = self._audio16[lo - self._base16:lo - self._base16 + n]
         if len(seg) < n:
             seg = np.pad(seg, (0, n - len(seg)))

@@ -395,3 +395,79 @@ class TestReducedWindow:
         assert a.duration == 0.0
         a.push(_audio(cfg, 10, seed=15))
         assert a.duration > 0 and b.duration == 0.0
+
+
+class TestLeftContextHubert:
+    """hubert_ctx_s > 0: left-context speech features (live.py module
+    docstring).  ctx chosen as a multiple of the conv stride so the
+    young-stream (fully padded) case is bit-comparable."""
+
+    def _make(self, ctx):
+        import dataclasses as dc
+
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        from diffsheg_tpu.models.hubert import HubertConfig
+        cfg = beat_config()
+        cfg = cfg.replace(model=dc.replace(
+            cfg.model, latent_dim=32, num_layers=1, num_heads=2, ff_size=64,
+            add_hubert=True, hubert_dim=16, hubert_latent_dim=8))
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(30))
+        gen = WindowGenerator(cfg, variables)
+        pid = jax.nn.one_hot(jnp.array([0]), cfg.model.style_dim)
+        hub_fe = HubertFeatureExtractor(HubertConfig(
+            hidden_size=16, num_layers=1, num_heads=2,
+            intermediate_size=32, conv_dim=(8,) * 7))
+        sess = LiveSession(gen, pid, jax.random.PRNGKey(31),
+                           hubert_extractor=hub_fe, hubert_ctx_s=ctx)
+        return cfg, sess, hub_fe
+
+    def _push_all(self, cfg, sess, T, seed=32):
+        mel_audio = _audio(cfg, T, seed=seed)
+        n16 = int(T / cfg.data.fps * 16000)
+        a16 = (np.random.RandomState(seed + 1).randn(n16) * .1) \
+            .astype(np.float32)
+        # feed buffers directly: this test probes _window_hubert, not the
+        # sampler, so skip the (slow) denoiser windows push() would run
+        sess._audio = mel_audio
+        sess._audio16 = a16
+        return a16
+
+    def test_young_stream_equals_window_local(self):
+        """First window (stream younger than ctx): the fully-left-padded
+        masked encode must equal the plain window-local encode."""
+        ctx = 2.0  # 32000 samples = 100 conv strides
+        cfg, s_ctx, _ = self._make(ctx)
+        cfg2, s_loc, _ = self._make(0.0)
+        T = cfg.data.n_poses * 3
+        self._push_all(cfg, s_ctx, T)
+        self._push_all(cfg2, s_loc, T)
+        a = np.asarray(s_ctx._window_hubert(0))
+        b = np.asarray(s_loc._window_hubert(0))
+        np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5)
+
+    def test_mid_stream_context_reduces_offline_drift(self):
+        """A mid-stream window with real left context must sit closer to
+        the offline whole-stream features than the window-local encode."""
+        from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
+        ctx = 2.0
+        cfg, s_ctx, hub_fe = self._make(ctx)
+        cfg2, s_loc, _ = self._make(0.0)
+        # share ONE encoder so the comparison is weights-identical
+        s_loc.hubert_fe = HubertFeatureExtractor(
+            hub_fe.cfg, variables=hub_fe.variables)
+        T = cfg.data.n_poses * 3  # 102 frames, windows at 0/30/60...
+        a16 = self._push_all(cfg, s_ctx, T)
+        self._push_all(cfg2, s_loc, T)
+        offline = np.asarray(hub_fe(jnp.asarray(a16), target_frames=T))[0]
+
+        s = 60  # 4 s in: full ctx available
+        size = cfg.data.n_poses
+        ref = offline[s:s + size]
+        scale = max(np.sqrt((ref ** 2).mean()), 1e-9)
+        d_ctx = np.sqrt(((np.asarray(s_ctx._window_hubert(s))[0]
+                          - ref) ** 2).mean()) / scale
+        d_loc = np.sqrt(((np.asarray(s_loc._window_hubert(s))[0]
+                          - ref) ** 2).mean()) / scale
+        assert np.isfinite(d_ctx) and np.isfinite(d_loc)
+        assert d_ctx < d_loc, (d_ctx, d_loc)
