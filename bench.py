@@ -177,6 +177,30 @@ def main():
     from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    # Calibration preamble: refuse to certify a degraded backend.  Round 4
+    # shipped a 0.46x headline with rc=0 because the axon plugin silently
+    # served XLA:CPU AOT executables while default_backend() said "tpu";
+    # block_until_ready() returned without executing and readbacks hung.
+    # calibrate() times real compute with a forced host readback (bounded
+    # wait) and checks the achieved TFLOP/s against the device kind's
+    # physical envelope — see diffsheg_tpu/utils/calibration.py.
+    from diffsheg_tpu.utils.calibration import calibrate
+    calib = calibrate(allow_cpu=bool(os.environ.get("BENCH_ALLOW_CPU")))
+    print(f"calibration[{calib.backend}/{calib.device_kind}]: "
+          f"{calib.calib_tflops:.1f} TFLOP/s sustained, "
+          f"dispatch {calib.dispatch_ms:.1f} ms"
+          + ("" if calib.ok else f"  INVALID: {calib.reason}"),
+          file=sys.stderr)
+    if not calib.ok:
+        print(json.dumps({
+            "metric": "beat_generation_fps",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            **calib.json_fields(),
+        }))
+        sys.exit(1)
+
     from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
     from diffsheg_tpu.audio.mel import MelFrontend
     from diffsheg_tpu.config import beat_config
@@ -272,12 +296,29 @@ def main():
     # best-of-12: each rep is one ~0.33 s device dispatch; a dozen reps
     # costs ~4 s and de-noises the remote-tunnel timing jitter (observed
     # +-2% run-to-run at best-of-6)
-    totals = []
-    for i in range(12):
-        t0 = time.perf_counter()
-        out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(i + 1))
-        out.block_until_ready()
-        totals.append(time.perf_counter() - t0)
+    def measure(seed0):
+        totals = []
+        for i in range(12):
+            t0 = time.perf_counter()
+            out = pipe(audio_18k, audio_16k, pid,
+                       jax.random.PRNGKey(seed0 + i))
+            out.block_until_ready()
+            totals.append(time.perf_counter() - t0)
+        return out, totals
+
+    # spread guard: within one run the tunnel jitter is ~+-2%; a spread
+    # above 30% means the timing path itself is unstable (round 4's
+    # degraded mode measured 38-1274%) and the headline is not a
+    # measurement.  One retry forgives a single network hiccup; a second
+    # breach invalidates the artifact (nonzero rc).
+    SPREAD_LIMIT = 0.30
+    out, totals = measure(1)
+    spread = (max(totals) - min(totals)) / float(np.median(totals))
+    if spread > SPREAD_LIMIT:
+        print(f"spread {spread:.1%} > {SPREAD_LIMIT:.0%} — retrying once",
+              file=sys.stderr)
+        out, totals = measure(101)
+        spread = (max(totals) - min(totals)) / float(np.median(totals))
 
     frames = int(out.shape[1])
     best = int(np.argmin(totals))
@@ -287,7 +328,6 @@ def main():
     # favorable draw is visible as such (PERF.md documents ~4%/day
     # across-run drift through the remote-TPU tunnel)
     median_fps = frames / float(np.median(totals))
-    spread = (max(totals) - min(totals)) / float(np.median(totals))
     print(f"fused pipeline (best of {len(totals)}): "
           f"total={totals[best]:.3f}s frames={frames} "
           f"median_fps={median_fps:.1f} spread={spread:.1%}",
@@ -295,18 +335,29 @@ def main():
 
     quant = os.environ.get("BENCH_QUANT", "none")
     layer_mode = os.environ.get("BENCH_FUSED_LAYER", "chain")
-    print(json.dumps({
+    spread_ok = spread <= SPREAD_LIMIT
+    record = {
         "metric": "beat_generation_fps" + (f"_jn{jn}" if jn != 2 else "")
         + (f"_{quant}" if quant != "none" else "")
         + (f"_{layer_mode}" if layer_mode != "chain" else ""),
-        "value": round(fps, 2),
+        "value": round(fps, 2) if spread_ok else 0.0,
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 3),
+        "vs_baseline": round(fps / baseline, 3) if spread_ok else 0.0,
         "median": round(median_fps, 2),
         "median_vs_baseline": round(median_fps / baseline, 3),
         "spread_pct": round(100 * spread, 2),
         "reps": len(totals),
-    }))
+        **calib.json_fields(),
+    }
+    if not spread_ok:
+        record["valid"] = False
+        record["invalid_reason"] = (
+            f"timing spread {100 * spread:.1f}% > {100 * SPREAD_LIMIT:.0f}% "
+            f"after retry — unstable timing path (measured best-of "
+            f"{round(fps, 2)} FPS not certified)")
+    print(json.dumps(record))
+    if not spread_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

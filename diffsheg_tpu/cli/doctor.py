@@ -121,7 +121,38 @@ def _compile_cache_status() -> Tuple[Optional[bool], str]:
     return True, f"{d} ({n} cached executables)"
 
 
-def run_doctor(device_timeout: float = 20.0, platform: str = "") -> int:
+def _calibration_checks() -> List[Tuple[Optional[bool], str, str]]:
+    """Execution-sanity probes (``doctor --calibrate``): prove the device
+    actually executes at hardware-plausible rates.  A degraded remote
+    plugin can serve CPU executables while ``default_backend()`` still
+    says "tpu" (round-4 incident) — only timed compute with a forced,
+    bounded host readback can tell."""
+    from diffsheg_tpu.utils.calibration import calibrate, envelope_for
+
+    res = calibrate(bandwidth=True, allow_cpu=True)
+    out: List[Tuple[Optional[bool], str, str]] = []
+    if res.backend == "cpu":
+        out.append((None, "calibration",
+                    "cpu backend — no envelope to enforce"))
+        return out
+    lo, hi = envelope_for(res.device_kind)
+    out.append((res.ok, "calib-compute",
+                f"{res.calib_tflops:.1f} TFLOP/s sustained "
+                f"(envelope [{lo:.0f}, {hi:.0f}] for {res.device_kind!r})"
+                + ("" if res.ok else f" — {res.reason}")))
+    out.append((True, "calib-dispatch",
+                f"{res.dispatch_ms:.1f} ms round trip"
+                + (" (remote-attached: expect ~25-40ms)"
+                   if res.dispatch_ms > 5 else "")))
+    if res.d2h_mbps or res.h2d_mbps:
+        out.append((True, "calib-bandwidth",
+                    f"h2d {res.h2d_mbps:.0f} MB/s, "
+                    f"d2h {res.d2h_mbps:.0f} MB/s"))
+    return out
+
+
+def run_doctor(device_timeout: float = 20.0, platform: str = "",
+               calibrate: bool = False) -> int:
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
@@ -152,6 +183,15 @@ def run_doctor(device_timeout: float = 20.0, platform: str = "") -> int:
     except Exception as e:  # noqa: BLE001
         ck, cd = False, f"{type(e).__name__}: {e}"
     checks.append((ck, "compile-cache", cd))
+    if calibrate and ok:
+        try:
+            checks.extend(_calibration_checks())
+        except Exception as e:  # noqa: BLE001
+            checks.append((False, "calibration",
+                           f"{type(e).__name__}: {e}"))
+    elif calibrate:
+        checks.append((False, "calibration",
+                       "skipped — device probe failed"))
 
     failed = False
     for ok, name, detail in checks:

@@ -411,7 +411,8 @@ def cmd_doctor(args) -> int:
     from diffsheg_tpu.cli.doctor import run_doctor
 
     return run_doctor(device_timeout=args.device_timeout,
-                      platform=args.platform or "")
+                      platform=args.platform or "",
+                      calibrate=args.calibrate)
 
 
 def cmd_view(args) -> int:
@@ -571,6 +572,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--device-timeout", type=float, default=20.0,
                     help="seconds to wait for device enumeration before "
                          "declaring the backend unreachable")
+    sp.add_argument("--calibrate", action="store_true",
+                    help="run the execution-sanity probes: sustained matmul "
+                         "TFLOP/s vs the device kind's physical envelope, "
+                         "dispatch round-trip, host<->device bandwidth — "
+                         "distinguishes 'slow model' from 'broken backend' "
+                         "(e.g. a CPU fallback behind a TPU label)")
     sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser(
