@@ -233,65 +233,104 @@ def main():
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16"))
 
-    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
-                                    jax.random.PRNGKey(0))
-    gen = WindowGenerator(cfg, variables)
-    stream = StreamingGenerator(gen)
-    frontend = MelFrontend(sr=cfg.data.mel_sr, hop=cfg.data.mel_hop,
-                           n_mels=cfg.data.n_mels)
-    # serving precision for the speech frontend too: HuBERT-large in
-    # bfloat16 halves the dominant matmul stage on the MXU
-    from diffsheg_tpu.models.hubert import HubertConfig
-    hubert_fe = HubertFeatureExtractor(HubertConfig(dtype="bfloat16"))
+    def build_and_warm():
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+        gen = WindowGenerator(cfg, variables)
+        stream = StreamingGenerator(gen)
+        frontend = MelFrontend(sr=cfg.data.mel_sr, hop=cfg.data.mel_hop,
+                               n_mels=cfg.data.n_mels)
+        # serving precision for the speech frontend too: HuBERT-large in
+        # bfloat16 halves the dominant matmul stage on the MXU
+        from diffsheg_tpu.models.hubert import HubertConfig
+        hubert_fe = HubertFeatureExtractor(HubertConfig(dtype="bfloat16"))
 
-    # 60 s of synthetic speech-band audio -> 900 frames @ 15 fps.  The
-    # reference pipeline reads the 16 kHz waveform for HuBERT and resamples
-    # to 18 kHz for mel (ddpm_beat_trainer.py:1236-1265); synthesize both
-    # rates from one analytic signal.
-    secs = 60
+        # 60 s of synthetic speech-band audio -> 900 frames @ 15 fps.
+        # The reference pipeline reads the 16 kHz waveform for HuBERT and
+        # resamples to 18 kHz for mel (ddpm_beat_trainer.py:1236-1265);
+        # synthesize both rates from one analytic signal.
+        secs = 60
 
-    def synth(sr):
-        t = np.arange(secs * sr) / sr
-        noise = np.random.RandomState(1).randn(secs * sr)
-        return (0.3 * np.sin(2 * np.pi * 220 * t)
-                + 0.1 * noise).astype(np.float32)[None]
+        def synth(sr):
+            t = np.arange(secs * sr) / sr
+            noise = np.random.RandomState(1).randn(secs * sr)
+            return (0.3 * np.sin(2 * np.pi * 220 * t)
+                    + 0.1 * noise).astype(np.float32)[None]
 
-    audio_18k = jnp.asarray(synth(cfg.data.mel_sr))
-    audio_16k = jnp.asarray(synth(16000))
-    pid = jax.nn.one_hot(jnp.array([1]), cfg.model.style_dim)
+        audio_18k = jnp.asarray(synth(cfg.data.mel_sr))
+        audio_16k = jnp.asarray(synth(16000))
+        pid = jax.nn.one_hot(jnp.array([1]), cfg.model.style_dim)
 
-    def stage_mel():
-        return frontend(audio_18k)
+        # optional staged run (reference-style per-stage accounting);
+        # costs three extra compiles, so it is diagnostics-only
+        if os.environ.get("BENCH_STAGED"):
+            mel = frontend(audio_18k)
+            n_frames = mel.shape[1]
+            hub = hubert_fe(audio_16k, target_frames=n_frames)
+            stream.generate_fused(mel, pid, jax.random.PRNGKey(0),
+                                  hubert=hub).block_until_ready()
+            t0 = time.perf_counter()
+            mel = frontend(audio_18k)
+            mel.block_until_ready(); t1 = time.perf_counter()
+            hub = hubert_fe(audio_16k, target_frames=n_frames)
+            hub.block_until_ready(); t2 = time.perf_counter()
+            out = stream.generate_fused(mel, pid, jax.random.PRNGKey(1),
+                                        hubert=hub)
+            out.block_until_ready(); t3 = time.perf_counter()
+            print(f"staged: mel={t1-t0:.3f}s hubert={t2-t1:.3f}s "
+                  f"sampler={t3-t2:.3f}s total={t3-t0:.3f}s",
+                  file=sys.stderr)
 
-    def stage_hubert(n_frames):
-        return hubert_fe(audio_16k, target_frames=n_frames)
+        # the serving path: the SAME three stages traced into ONE
+        # program — a 60 s clip costs a single device dispatch
+        from diffsheg_tpu.sampling.pipeline import FusedPipeline
+        pipe = FusedPipeline(stream, frontend, hubert_fe)
+        out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(0))
+        out.block_until_ready()
+        return pipe, audio_18k, audio_16k, pid
 
-    def stage_sampler(mel, hubert, key):
-        # fully-fused stream: one compiled program for all windows
-        return stream.generate_fused(mel, pid, key, hubert=hubert)
-
-    # optional staged run (reference-style per-stage accounting); costs
-    # three extra compiles, so it is diagnostics-only
-    if os.environ.get("BENCH_STAGED"):
-        mel = stage_mel()
-        n_frames = mel.shape[1]
-        hub = stage_hubert(n_frames)
-        stage_sampler(mel, hub, jax.random.PRNGKey(0)).block_until_ready()
-        t0 = time.perf_counter()
-        mel = stage_mel(); mel.block_until_ready(); t1 = time.perf_counter()
-        hub = stage_hubert(n_frames); hub.block_until_ready()
-        t2 = time.perf_counter()
-        out = stage_sampler(mel, hub, jax.random.PRNGKey(1))
-        out.block_until_ready(); t3 = time.perf_counter()
-        print(f"staged: mel={t1-t0:.3f}s hubert={t2-t1:.3f}s "
-              f"sampler={t3-t2:.3f}s total={t3-t0:.3f}s", file=sys.stderr)
-
-    # the serving path: the SAME three stages traced into ONE program —
-    # a 60 s clip costs a single device dispatch
-    from diffsheg_tpu.sampling.pipeline import FusedPipeline
-    pipe = FusedPipeline(stream, frontend, hubert_fe)
-    out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(0))
-    out.block_until_ready()
+    # Per-program fallback detection (wraps the WHOLE build + warmup):
+    # the calibration preamble certifies the BACKEND, but any executable
+    # in the benched process can still land on the host CPU — either
+    # compiled by a degraded service right now, or replayed from a
+    # persistent-cache entry POISONED by a past degraded run (observed:
+    # calibration 114 TFLOP/s while the pipeline ran at 26 FPS from
+    # round-4 cache entries, with the loader warnings appearing already
+    # at model init).  The load-time signature is XLA's cpu_aot_loader.cc
+    # warning on fd 2; scan_stderr tees it live.
+    from diffsheg_tpu.utils.calibration import (CPU_AOT_SIGNATURE,
+                                                scan_stderr)
+    with scan_stderr() as scan:
+        pipe, audio_18k, audio_16k, pid = build_and_warm()
+    if scan.found(CPU_AOT_SIGNATURE):
+        from diffsheg_tpu.utils.compile_cache import purge_persistent_cache
+        n = purge_persistent_cache()
+        if not os.environ.get("BENCH_AOT_RETRY"):
+            # most likely a poisoned cache: purge and retry once in a
+            # fresh process (the in-memory executable is already loaded;
+            # only a new process re-traces and re-compiles)
+            print(f"CPU-AOT fallback detected at warmup "
+                  f"({scan.count(CPU_AOT_SIGNATURE)} loads) — purged "
+                  f"{n} cache entries, re-executing for a clean compile",
+                  file=sys.stderr)
+            env = dict(os.environ, BENCH_AOT_RETRY="1")
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(sys.argv[0])]
+                      + sys.argv[1:], env)
+        # second detection on a fresh compile: the service is degraded NOW
+        print(json.dumps({
+            "metric": "beat_generation_fps",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            **calib.json_fields(),
+            "valid": False,
+            "invalid_reason": "benched program is an XLA:CPU AOT "
+                              "executable on a fresh compile — remote "
+                              "compile service is serving CPU fallbacks "
+                              "(round-4 degraded mode)",
+        }))
+        sys.exit(1)
 
     # best-of-12: each rep is one ~0.33 s device dispatch; a dozen reps
     # costs ~4 s and de-noises the remote-tunnel timing jitter (observed

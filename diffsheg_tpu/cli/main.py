@@ -331,7 +331,8 @@ def cmd_test_stream(args) -> int:
                                fgd_variables=_load_fgd_variables(args, cfg),
                                max_clips=args.max_clips,
                                output_gt=args.output_gt,
-                               exporter=exporter)
+                               exporter=exporter,
+                               srgr_avg_weight=args.srgr_avg_weight)
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -520,6 +521,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--player", action="store_true",
                     help="also write a self-contained HTML player per clip "
                          "(needs --template-bvh)")
+    sp.add_argument("--srgr-avg-weight", type=float, default=None,
+                    help="SRGR semantic-weight normalizer; pass 0.165 (the "
+                         "external harness's hard-coded BEAT test-split "
+                         "mean) for harness-comparable numbers; default "
+                         "self-normalizes on the provided sem track")
     sp.set_defaults(fn=cmd_test_stream)
 
     sp = sub.add_parser(

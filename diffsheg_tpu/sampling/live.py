@@ -208,6 +208,12 @@ class LiveSession:
             from diffsheg_tpu.audio.hubert_runner import (STRIDE,
                                                           expected_frames,
                                                           linear_resample)
+            # Round the context down to a whole number of encoder strides:
+            # with a fractional-stride ctx, a fully-padded young stream has
+            # first_valid = ceil(ctx/STRIDE) > f0 = ctx//STRIDE, so the
+            # first emitted frame would be a masked (zeroed) one — one
+            # degenerate frame per window early in the session.
+            self._hub_ctx = (self._hub_ctx // STRIDE) * STRIDE
             n_win = int(self.size / self.fps * 16000)
             ext_len = self._hub_ctx + n_win
             ext_frames = expected_frames(ext_len)

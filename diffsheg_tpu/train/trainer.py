@@ -44,6 +44,17 @@ class EvalResult:
     fgd: float = float("nan")
     mse: float = float("nan")
     pck: float = float("nan")
+    # PCK at a 2.0 threshold — diagnostic companion to the harness metric.
+    # pck (@0.5, reference ddpm_beat_trainer.py:598) is in normalized
+    # units: a joint counts only when its 3-channel L2 error is < 0.5,
+    # i.e. per-channel RMSE < 0.29 — far below the sampling floor of
+    # small/early models, where pck@0.5 sits near its chi-square ceiling
+    # P(chi2_3 < 0.25/mse) and barely moves (examples/convergence_demo.py
+    # documents the measured ceiling).  pck2 responds across the whole
+    # training trajectory, separating "metric at its floor-imposed
+    # ceiling" from "model not learning".  Best-checkpoint rotation still
+    # tracks the harness pck.
+    pck2: float = float("nan")
     diversity: float = float("nan")
 
     def as_dict(self) -> Dict[str, float]:
@@ -253,7 +264,7 @@ class Trainer:
                                                mse_pck_channels)
 
         gen = self._get_generator()
-        mses, pcks = [], []
+        mses, pcks, pck2s = [], [], []
         # streaming diversity: score each disjoint 50-sample group as it
         # fills instead of retaining every generated batch in memory
         div_carry, carry_n = [], 0
@@ -288,6 +299,8 @@ class Trainer:
             tgt = np.asarray(mb["motion"])
             m, p = mse_pck_channels(out_np, tgt)
             mses.append(m); pcks.append(p)
+            pck2s.append(mse_pck_channels(out_np, tgt,
+                                          pck_threshold=2.0)[1])
             div_carry.append(out_np)
             carry_n += len(out_np)
             while carry_n >= 50:
@@ -313,6 +326,7 @@ class Trainer:
         res = EvalResult(
             mse=float(np.mean(mses)) if mses else float("nan"),
             pck=float(np.mean(pcks)) if pcks else float("nan"),
+            pck2=float(np.mean(pck2s)) if pck2s else float("nan"),
             diversity=div_val,
             fgd=(frechet_from_activations(np.concatenate(gen_lat),
                                           np.concatenate(real_lat))

@@ -35,12 +35,86 @@ running behind a remote-attach tunnel whose health varies by day.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import os
+import sys
 import threading
 import time
 from typing import Optional, Tuple
 
 import numpy as np
+
+# The load-time signature of the round-4 degraded mode: an executable the
+# runtime believes is a TPU program is actually an XLA:CPU AOT result
+# (compiled remotely, executed on this host).  Printed by XLA's
+# cpu_aot_loader.cc at executable load.  This is per-PROGRAM — the matmul
+# calibration probe can pass while the serving pipeline silently lands on
+# the host (observed: calibration 114 TFLOP/s, pipeline 26 FPS), e.g.
+# when a poisoned persistent-cache entry is replayed — so consumers must
+# scan the load of the exact program they are about to time.
+CPU_AOT_SIGNATURE = "Loading XLA:CPU AOT result"
+
+
+class StderrScan:
+    """Live fd-level TEE of stderr for the duration of a ``with`` block:
+    everything still reaches the real stderr in real time (compile
+    progress stays visible, tracebacks are never swallowed) while a copy
+    accumulates for ``found(pattern)`` / ``count(pattern)``.
+
+    XLA's C++ logging writes straight to fd 2, so Python-level
+    ``sys.stderr`` redirection cannot see it; this works at the fd
+    level (dup2 onto a pipe, pump thread tees to the saved fd)."""
+
+    def __init__(self):
+        self.text = ""
+        self._chunks: list = []
+
+    def found(self, pattern: str) -> bool:
+        return pattern in self.text
+
+    def count(self, pattern: str) -> int:
+        return self.text.count(pattern)
+
+
+@contextlib.contextmanager
+def scan_stderr():
+    scan = StderrScan()
+    sys.stderr.flush()
+    saved = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)  # fd 2 is now the pipe's only write end
+
+    def pump():
+        while True:
+            try:
+                data = os.read(r, 65536)
+            except OSError:
+                break
+            if not data:
+                break
+            scan._chunks.append(data)
+            try:
+                os.write(saved, data)  # live tee to the real stderr
+            except OSError:
+                pass
+
+    th = threading.Thread(target=pump, daemon=True)
+    th.start()
+    try:
+        yield scan
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved, 2)  # closes the pipe's write end -> pump sees EOF
+        th.join(5.0)
+        os.close(saved)
+        try:
+            os.close(r)
+        except OSError:
+            pass
+        scan.text = b"".join(scan._chunks).decode("utf-8",
+                                                  errors="replace")
 
 # Sustained-TFLOP/s envelope per device kind (prefix-matched, bf16 chained
 # matmuls with one host round-trip amortized over the chain).  Lower bound

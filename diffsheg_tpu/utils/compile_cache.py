@@ -51,3 +51,31 @@ def enable_persistent_cache(default_dir: str | None = None) -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return cand
     return None
+
+
+def purge_persistent_cache() -> int:
+    """Delete every entry in the active persistent cache directory.
+
+    Needed because the cache can be POISONED: when the remote compile
+    service degrades it returns XLA:CPU AOT executables under the TPU
+    key (round-4 incident), the cache stores them, and every later
+    process — including ones running while the service is healthy —
+    silently replays host-CPU execution from the cache (measured: the
+    3372-FPS serving pipeline at 26 FPS with ``cpu_aot_loader.cc``
+    load warnings).  Returns the number of entries removed.
+    """
+    import jax
+
+    d = jax.config.jax_compilation_cache_dir
+    if not d or not os.path.isdir(d):
+        return 0
+    n = 0
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        try:
+            if os.path.isfile(p):
+                os.remove(p)
+                n += 1
+        except OSError:
+            pass
+    return n

@@ -23,13 +23,26 @@ Run:  python examples/convergence_demo.py [epochs]   (default 60, CPU ok)
 Writes <workdir>/metrics.jsonl and prints the eval curve; the committed
 curve from a 240-epoch run lives in ``examples/curves/convergence.json``:
 val MSE 1263 -> 1.9 (665x), FGD 46794 -> 23, diversity contracting to the
-target distribution's.  PCK rises 0.004 -> 0.017 and then plateaus — a
-structural property of the metric at this scale, not a training stall:
-PCK counts joints within 0.5 of the target on z-normalized channels, so
-it only moves once per-joint error drops BELOW 0.5, and the demo-sized
-model's conditional-mean floor (val MSE ~1.3 at DDIM-10) sits above
-that.  The convergence claim rests on the three metrics that measure
-distance to the target at every scale.
+target distribution's.
+
+PCK@0.5 rises 0.004 -> 0.016 and then plateaus — a measured CEILING of
+the metric at this scale, not a training stall, and the curve carries
+the evidence both ways:
+
+  * the metric responds to training where it can: the diagnostic
+    ``val_pck2`` track (same statistic, threshold 2.0) climbs
+    0.26 -> 0.70 over the same run before saturating at the sampling
+    floor;
+  * the @0.5 plateau is exactly where the floor puts it: the threshold
+    asks for per-joint 3-channel L2 error < 0.5 (per-channel RMSE
+    < 0.29); with the demo model's DDIM-10 conditional-mean floor of
+    val MSE ~1.3-1.9 per channel, an isotropic-residual model predicts
+    PCK@0.5 = P(chi2_3 < 0.25/mse) ~ 0.012-0.017 — the measured value
+    (0.016) sits inside that band (``tests/test_convergence.py::
+    TestPckCeiling`` pins the prediction against the committed curve).
+
+So all four tracked metrics either converge or are quantitatively
+explained; nothing is flat for an unknown reason.
 """
 
 from __future__ import annotations

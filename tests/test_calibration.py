@@ -8,12 +8,43 @@ on the honest-CPU backend (the failure mode itself cannot be reproduced
 here; the envelope and hang-bounding logic can).
 """
 
+import os
 import time
 
 import numpy as np
 
 from diffsheg_tpu.utils.calibration import (CalibrationResult, _readback,
-                                            calibrate, envelope_for)
+                                            calibrate, envelope_for,
+                                            scan_stderr)
+
+
+class TestStderrScan:
+    def test_sees_fd_level_writes(self):
+        """XLA's C++ logging writes to fd 2 directly — the scan must see
+        raw-fd writes, not only sys.stderr ones."""
+        with scan_stderr() as scan:
+            os.write(2, b"raw: Loading XLA:CPU AOT result marker\n")
+        assert scan.found("Loading XLA:CPU AOT result")
+        assert scan.count("Loading XLA:CPU AOT result") == 1
+
+    def test_tee_restores_stderr(self):
+        before = os.fstat(2).st_ino if hasattr(os, "fstat") else None
+        with scan_stderr() as scan:
+            os.write(2, b"tee check\n")
+        # fd 2 usable again after the scan
+        os.write(2, b"")
+        assert scan.found("tee check")
+        if before is not None:
+            assert os.fstat(2).st_ino == before
+
+    def test_exception_does_not_swallow(self):
+        try:
+            with scan_stderr() as scan:
+                os.write(2, b"pre-raise output\n")
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert scan.found("pre-raise output")
 
 
 class TestEnvelope:
