@@ -21,7 +21,10 @@ Weights are the random-init encoder unless --hubert-checkpoint points at
 converted HF weights — with random weights the number is an indicator of
 architectural sensitivity, not of perceptual quality.
 
-Run:  python examples/live_hubert_drift.py [--seconds 24] [--ctx 4.0]
+Run:  python examples/live_hubert_drift.py [--seconds 24] [--ctx 1,2,4]
+(``--ctx`` accepts a comma-separated sweep; each value costs one extra
+encoder compile but the offline oracle and the window-local rows are
+shared across the sweep.)
 """
 
 import argparse
@@ -38,8 +41,9 @@ WAV = "/root/reference/audios/2_scott_0_3_3.wav"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=24.0)
-    ap.add_argument("--ctx", type=float, default=4.0,
-                    help="left context seconds for variant (b)")
+    ap.add_argument("--ctx", default="4.0",
+                    help="left context seconds for variant (b); "
+                         "comma-separated values sweep the table")
     ap.add_argument("--wav", default=WAV)
     ap.add_argument("--hubert-checkpoint", default=None)
     ap.add_argument("--fps", type=int, default=15)
@@ -79,69 +83,82 @@ def main():
         starts.append(T_total - args.window)
 
     n = int(args.window / args.fps * 16000)
-    ctx = int(args.ctx * 16000)
+    ctx_sweep = [float(c) for c in str(args.ctx).split(",") if c.strip()]
 
     def rel_rms(a, b):
         return float(np.sqrt(((a - b) ** 2).mean())
                      / max(np.sqrt((b ** 2).mean()), 1e-12))
 
-    rows_local, rows_ctx = [], []
     model, mvars = ex.model, ex.variables
 
-    # ONE static signature for the left-context variant: every window is
-    # encoded as a (1, ctx+n) segment, left-zero-padded when the stream
-    # is younger than ctx, with a frame mask excluding frames whose
-    # receptive field touches the pad (models/hubert.py frame_mask)
-    ext_len = ctx + n
-    ext_frames = expected_frames(ext_len)
-
-    @jax.jit
-    def encode_ext(seg, first_valid_frame):
-        mask = (jnp.arange(ext_frames)[None, :] >= first_valid_frame)
-        return model.apply(mvars, seg, mask)
-
+    # (a) shipped live path: window-local context — shared across the sweep
+    rows_local = []
     for s in starts:
         lo = min(int(s / args.fps * 16000), max(0, len(audio) - n))
         seg = audio[lo:lo + n]
         if len(seg) < n:
             seg = np.pad(seg, (0, n - len(seg)))
-        # (a) shipped live path: window-local context
         live = np.asarray(ex(jnp.asarray(seg)[None],
                              target_frames=args.window))[0]
         rows_local.append(rel_rms(live, offline[s:s + args.window]))
 
-        # (b) left-context variant: encode [lo-ctx, lo+n), slice the
-        # window's conv frames, resample those to the window length
-        lo_ext = lo - ctx
-        pad_left = max(0, -lo_ext)
-        ext = audio[max(0, lo_ext):lo + n]
-        ext = np.pad(ext, (pad_left, ext_len - pad_left - len(ext)))
-        # normalize over the REAL samples only, then pad with zeros
-        valid = ext[pad_left:]
-        valid = (valid - valid.mean()) / np.sqrt(valid.var() + 1e-7)
-        ext = np.concatenate([np.zeros(pad_left, np.float32),
-                              valid.astype(np.float32)])
-        first_valid = -(-pad_left // STRIDE)  # ceil: RF clear of the pad
-        feats = encode_ext(jnp.asarray(ext)[None], first_valid)
-        f0 = (lo - lo_ext) // STRIDE
-        want = expected_frames(n)
-        w = feats[:, f0:f0 + want]
-        if w.shape[1] < want:
-            w = jnp.pad(w, ((0, 0), (0, want - w.shape[1]), (0, 0)))
-        wr = np.asarray(linear_resample(w, args.window))[0]
-        rows_ctx.append(rel_rms(wr, offline[s:s + args.window]))
-
-    import json
-    print(json.dumps({
+    result = {
         "metric": "live_hubert_feature_drift",
         "unit": "rel_rms_vs_offline",
         "windows": len(starts),
         "weights": "converted" if variables is not None else "random-init",
         "window_local_mean": round(float(np.mean(rows_local)), 4),
         "window_local_max": round(float(np.max(rows_local)), 4),
-        f"left_ctx_{args.ctx}s_mean": round(float(np.mean(rows_ctx)), 4),
-        f"left_ctx_{args.ctx}s_max": round(float(np.max(rows_ctx)), 4),
-    }))
+    }
+
+    for ctx_s in ctx_sweep:
+        # Round to a whole encoder stride — same rule LiveSession applies
+        # (sampling/live.py) so the measured drift matches the shipped knob
+        ctx = (int(ctx_s * 16000) // STRIDE) * STRIDE
+
+        # ONE static signature per ctx: every window is encoded as a
+        # (1, ctx+n) segment, left-zero-padded when the stream is younger
+        # than ctx, with a frame mask excluding frames whose receptive
+        # field touches the pad (models/hubert.py frame_mask)
+        ext_len = ctx + n
+        ext_frames = expected_frames(ext_len)
+
+        @jax.jit
+        def encode_ext(seg, first_valid_frame, ext_frames=ext_frames):
+            mask = (jnp.arange(ext_frames)[None, :] >= first_valid_frame)
+            return model.apply(mvars, seg, mask)
+
+        rows_ctx = []
+        for s in starts:
+            lo = min(int(s / args.fps * 16000), max(0, len(audio) - n))
+            # (b) left-context variant: encode [lo-ctx, lo+n), slice the
+            # window's conv frames, resample those to the window length
+            lo_ext = lo - ctx
+            pad_left = max(0, -lo_ext)
+            ext = audio[max(0, lo_ext):lo + n]
+            ext = np.pad(ext, (pad_left, ext_len - pad_left - len(ext)))
+            # normalize over the REAL samples only, then pad with zeros
+            valid = ext[pad_left:]
+            valid = (valid - valid.mean()) / np.sqrt(valid.var() + 1e-7)
+            ext = np.concatenate([np.zeros(pad_left, np.float32),
+                                  valid.astype(np.float32)])
+            first_valid = -(-pad_left // STRIDE)  # ceil: RF clear of pad
+            feats = encode_ext(jnp.asarray(ext)[None], first_valid)
+            f0 = (lo - lo_ext) // STRIDE
+            want = expected_frames(n)
+            w = feats[:, f0:f0 + want]
+            if w.shape[1] < want:
+                w = jnp.pad(w, ((0, 0), (0, want - w.shape[1]), (0, 0)))
+            wr = np.asarray(linear_resample(w, args.window))[0]
+            rows_ctx.append(rel_rms(wr, offline[s:s + args.window]))
+        tag = (f"{ctx_s:g}")
+        result[f"left_ctx_{tag}s_mean"] = round(float(np.mean(rows_ctx)), 4)
+        result[f"left_ctx_{tag}s_max"] = round(float(np.max(rows_ctx)), 4)
+        print(f"ctx={ctx_s:g}s: mean={result[f'left_ctx_{tag}s_mean']} "
+              f"max={result[f'left_ctx_{tag}s_max']}", file=sys.stderr)
+
+    import json
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
