@@ -55,6 +55,35 @@ import numpy as np
 # scan the load of the exact program they are about to time.
 CPU_AOT_SIGNATURE = "Loading XLA:CPU AOT result"
 
+# Execution-locality limit for host_cpu_fraction(): a program executing on
+# the TPU behind the tunnel leaves the local process ~idle while it blocks
+# (measured 0.02 on the calibration matmul at 113 TFLOP/s), while XLA:CPU
+# execution burns local CPU ~= wall time (measured 0.99 on a numpy matmul
+# loop; multithreaded XLA:CPU can exceed 1.0 since process_time() sums all
+# threads).  Anything above 0.5 means the "TPU" program is actually
+# running on this host.  This catches the failure mode the load-time
+# signature cannot: a FRESH degraded-service compile targeted at the
+# matching host has no machine-feature mismatch, so cpu_aot_loader.cc
+# prints nothing (observed: calibration 109 TFLOP/s, zero loader warnings,
+# pipeline at 25 FPS = the round-4 CPU number).
+HOST_EXEC_FRAC_LIMIT = 0.5
+
+
+def host_cpu_fraction(run_once) -> Tuple[float, float]:
+    """Time one synchronous call and return ``(wall_s, host_cpu_frac)``.
+
+    ``host_cpu_frac`` is process CPU seconds (all threads) divided by wall
+    seconds for the call — the physical discriminator between "this
+    executable ran on the device" (~0.0) and "this executable ran on the
+    local host" (~1.0).  ``run_once`` must block until the result is ready.
+    """
+    c0 = time.process_time()
+    t0 = time.perf_counter()
+    run_once()
+    wall = time.perf_counter() - t0
+    cpu = time.process_time() - c0
+    return wall, (cpu / wall if wall > 0 else 0.0)
+
 
 class StderrScan:
     """Live fd-level TEE of stderr for the duration of a ``with`` block:

@@ -118,3 +118,37 @@ class TestResultFields:
         assert f == {"backend": "tpu", "device_kind": "TPU v5 lite",
                      "calib_tflops": 114.66, "dispatch_ms": 23.25,
                      "valid": True}
+
+
+class TestHostCpuFraction:
+    """host_cpu_fraction(): the execution-locality discriminator.
+
+    Added after the 2026-08-20 incident where a FRESH degraded-service
+    compile produced a host-CPU pipeline with NO cpu_aot_loader warning
+    (machine features matched), so the signature scan passed and bench.py
+    certified 25 FPS valid:true.  Local-CPU-burn vs idle-blocking is the
+    physical signal the signature cannot miss.
+    """
+
+    def test_busy_loop_reads_as_host_execution(self):
+        from diffsheg_tpu.utils.calibration import (HOST_EXEC_FRAC_LIMIT,
+                                                    host_cpu_fraction)
+
+        def busy():
+            t0 = time.perf_counter()
+            x = 0
+            while time.perf_counter() - t0 < 0.1:
+                x += 1
+            return x
+
+        wall, frac = host_cpu_fraction(busy)
+        assert wall >= 0.1
+        assert frac > HOST_EXEC_FRAC_LIMIT
+
+    def test_blocking_wait_reads_as_device_execution(self):
+        from diffsheg_tpu.utils.calibration import (HOST_EXEC_FRAC_LIMIT,
+                                                    host_cpu_fraction)
+
+        wall, frac = host_cpu_fraction(lambda: time.sleep(0.1))
+        assert wall >= 0.1
+        assert frac < HOST_EXEC_FRAC_LIMIT
