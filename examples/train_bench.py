@@ -34,6 +34,11 @@ from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+if os.environ.get("TRAIN_BENCH_ALLOW_CPU"):
+    # honest-CPU smoke runs: the axon plugin ignores JAX_PLATFORMS, so
+    # force the platform through jax.config before any computation
+    jax.config.update("jax_platforms", "cpu")
+
 # v5e peak: 197 TFLOP/s bf16 (f32 matmuls run through the same MXU via
 # passes at roughly half); used only for the MFU *estimate* column
 PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
@@ -158,6 +163,7 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
     jax.block_until_ready(terms.total)
 
     times = []
+    cpu_t0, wall_t0 = time.process_time(), time.perf_counter()
     if pipeline:
         # feed through the production loader (host gather + transfer in the
         # loop) to expose input-pipeline overhead.  The source arrays are
@@ -189,6 +195,14 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
             jax.block_until_ready(terms.total)
             times.append(time.perf_counter() - t0)
 
+    # execution-locality accounting (same discriminator as bench.py): a
+    # TPU-resident step leaves this process ~idle while it blocks; host
+    # execution burns ~all of wall.  Pipelined rows legitimately spend
+    # host CPU in the loader, so the guard is enforced on resident-batch
+    # rows only (main()).
+    host_cpu_frac = ((time.process_time() - cpu_t0)
+                     / max(time.perf_counter() - wall_t0, 1e-9))
+
     dt = min(times)
     mfu = (flops / dt) / PEAK_FLOPS.get(dtype, 197e12) if flops else None
     # roofline: arithmetic intensity vs the v5e ridge point.  With XLA's
@@ -217,13 +231,45 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
         "loss": round(float(terms.total), 2),
         "pipelined": pipeline,
         "host_mb_per_batch": round(bytes_per_batch / 1e6, 1),
+        "host_cpu_frac": round(host_cpu_frac, 3),
     }
 
 
+def _check_row(r):
+    """Refuse to publish a resident-batch row whose timed reps ran on the
+    host CPU (the round-4/5 silent-fallback mode); pipelined rows carry
+    the fraction but legitimately spend host CPU in the loader."""
+    from diffsheg_tpu.utils.calibration import HOST_EXEC_FRAC_LIMIT
+    if os.environ.get("TRAIN_BENCH_ALLOW_CPU"):
+        return r  # honest-CPU smoke run: host execution is the point
+    if not r.get("pipelined") and r.get("host_cpu_frac", 0) > \
+            HOST_EXEC_FRAC_LIMIT:
+        print(json.dumps({**r, "valid": False,
+                          "invalid_reason": "timed steps executed on the "
+                          "host CPU (CPU fallback, not a TPU measurement)"}),
+              flush=True)
+        sys.exit(1)
+    return r
+
+
 def main():
+    # backend calibration: same guard as bench.py — refuse to measure on a
+    # degraded backend (TRAIN_BENCH_ALLOW_CPU=1 for logic smoke tests)
+    from diffsheg_tpu.utils.calibration import calibrate
+    calib = calibrate(allow_cpu=bool(os.environ.get("TRAIN_BENCH_ALLOW_CPU")))
+    print(f"calibration[{calib.backend}/{calib.device_kind}]: "
+          f"{calib.calib_tflops:.1f} TFLOP/s, dispatch "
+          f"{calib.dispatch_ms:.1f} ms"
+          + ("" if calib.ok else f"  INVALID: {calib.reason}"),
+          file=sys.stderr)
+    if not calib.ok:
+        print(json.dumps({"metric": "beat_train_windows_per_s", "value": 0.0,
+                          **calib.json_fields()}))
+        sys.exit(1)
+
     if os.environ.get("TRAIN_BENCH_PIPELINE"):
         # just the input-pipeline-overlap point (re-runnable in isolation)
-        r = measure(1024, "bfloat16", reps=4, pipeline=True)
+        r = _check_row(measure(1024, "bfloat16", reps=4, pipeline=True))
         print(json.dumps(r), flush=True)
         return
     if os.environ.get("TRAIN_BENCH_FRONTEND"):
@@ -239,8 +285,8 @@ def main():
             fb = 1024
         for fe_mode in (True, False):
             for pipe in (False, True):
-                r = measure(fb, "bfloat16", reps=4, pipeline=pipe,
-                            frontend=fe_mode)
+                r = _check_row(measure(fb, "bfloat16", reps=4,
+                                        pipeline=pipe, frontend=fe_mode))
                 print(json.dumps(r), flush=True)
         return
     if os.environ.get("TRAIN_BENCH_MATRIX"):
@@ -251,7 +297,7 @@ def main():
                 (2500, "float32", False), (2500, "bfloat16", False),
                 (2500, "bfloat16", True), (2500, "float32", True)]:
             try:
-                r = measure(batch, dtype, remat=remat)
+                r = _check_row(measure(batch, dtype, remat=remat))
             except Exception as e:  # e.g. HBM OOM at the largest point
                 print(json.dumps({"batch": batch, "dtype": dtype,
                                   "remat": remat,
@@ -261,7 +307,8 @@ def main():
             rows.append(r)
         # input-pipeline overlap at a production point
         try:
-            r = measure(1024, "bfloat16", reps=4, pipeline=True)
+            r = _check_row(measure(1024, "bfloat16", reps=4,
+                                    pipeline=True))
             print(json.dumps(r), flush=True)
         except Exception as e:
             print(json.dumps({"pipelined": True, "error": str(e)[:200]}),
@@ -278,7 +325,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     dtype = {"bf16": "bfloat16", "f32": "float32"}.get(
         sys.argv[2] if len(sys.argv) > 2 else "f32", "float32")
-    r = measure(batch, dtype)
+    r = _check_row(measure(batch, dtype))
     print(f"batch {r['batch']} {r['dtype']}: {r['step_ms']} ms/step -> "
           f"{r['windows_per_s']} windows/s, MFU {r['mfu_pct']}%",
           file=sys.stderr)
