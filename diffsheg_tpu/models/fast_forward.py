@@ -79,6 +79,12 @@ def _branch_widths(cfg: ModelConfig, has_hubert: bool,
 
 def _extract_branch(cfg: ModelConfig, p, T: int, c_real: int, c_pad: int,
                     dtype, quant: str = "none") -> BranchFast:
+    if "layer_0" not in p and "layers" in p:
+        # scan_layers=True checkpoints keep the stack under layers/layer
+        # with a leading layer axis; the kernel extraction below wants the
+        # unrolled layout, so slice it back out (traced, zero-copy views)
+        from diffsheg_tpu.models.factory import unstack_scan_layers
+        p = unstack_scan_layers(p, cfg.num_layers)
     if cfg.pe_type == "learnable":
         pe = jnp.asarray(p["sequence_embedding"][:T], dtype=dtype)
     else:

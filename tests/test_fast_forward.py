@@ -341,6 +341,30 @@ class TestEngineParity:
         self._compare(cfg, seed=4)
 
 
+class TestScanLayoutExtraction:
+    def test_extract_from_scan_layout_matches_unrolled(self):
+        """extract_fast_params accepts scan_layers checkpoints: the
+        layers/layer stacked layout slices back to the same kernel-ready
+        weights as the unrolled layer_{i} layout (models/fast_forward.py
+        unstacks on the fly), so the serving fast path composes with
+        model.scan_layers."""
+        from diffsheg_tpu.models.factory import stack_scan_layers
+
+        cfg = tiny(beat_config())
+        _, v = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                jax.random.PRNGKey(11))
+        v_scan = {"params": stack_scan_layers(v["params"],
+                                              cfg.model.num_layers)}
+        a = extract_fast_params(cfg.model, v, cfg.data.n_poses, True)
+        b = extract_fast_params(cfg.model, v_scan, cfg.data.n_poses, True)
+        la = jax.tree_util.tree_leaves_with_path(a)
+        lb = dict(jax.tree_util.tree_leaves_with_path(b))
+        assert len(la) == len(lb)
+        for path, leaf in la:
+            np.testing.assert_array_equal(np.asarray(lb[path]),
+                                          np.asarray(leaf))
+
+
 class TestGeneratorIntegration:
     def test_forced_fused_sampling_matches_flax(self):
         cfg = tiny(beat_config())
