@@ -4,7 +4,10 @@ Reference fast configuration (inference_custom_audio_show.sh:18-33): DDIM-25,
 overlap 10, classifier-free guidance scale 1.15, jump_n_sample 2 — "120+ FPS"
 on A100 at 30 fps output.  Same RTF method as bench.py (mel + HuBERT +
 sampler for one stream), on the single-dispatch serving pipeline with CFG
-batch-doubling inside the compiled program.
+batch-doubling inside the compiled program, and the same validity guards
+(utils/benchguard.py): backend calibration, per-program CPU-fallback
+detection with one purge-and-recompile retry, spread + execution-locality
+checks on the timed reps.
 
 Run: python examples/show_bench.py   (one real TPU chip; first call compiles)
 """
@@ -29,6 +32,16 @@ def main():
     from diffsheg_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    from diffsheg_tpu.utils.benchcfg import jump_config_baseline
+    jn, baseline = jump_config_baseline({2: BASELINE_FPS,
+                                         5: BASELINE_FPS_JN5})
+    metric = "show_generation_fps" + (f"_jn{jn}" if jn != 2 else "")
+
+    from diffsheg_tpu.utils.benchguard import (build_guarded,
+                                               calibrate_or_exit, timed_reps)
+    calib = calibrate_or_exit(metric,
+                              allow_cpu=bool(os.environ.get("BENCH_ALLOW_CPU")))
+
     from diffsheg_tpu.audio.hubert_runner import HubertFeatureExtractor
     from diffsheg_tpu.audio.mel import MelFrontend
     from diffsheg_tpu.config import show_config
@@ -39,9 +52,6 @@ def main():
     from diffsheg_tpu.sampling.streamer import StreamingGenerator
 
     cfg = show_config()
-    from diffsheg_tpu.utils.benchcfg import jump_config_baseline
-    jn, baseline = jump_config_baseline({2: BASELINE_FPS,
-                                         5: BASELINE_FPS_JN5})
     cfg = cfg.replace(diffusion=dataclasses.replace(
         cfg.diffusion, jump_n_sample=jn,
         fused_layer=os.environ.get("BENCH_FUSED_LAYER", "chain"),
@@ -49,14 +59,6 @@ def main():
         quantize=os.environ.get("BENCH_QUANT", "none")))
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16"))
-
-    _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
-                                    jax.random.PRNGKey(0))
-    stream = StreamingGenerator(WindowGenerator(cfg, variables))
-    frontend = MelFrontend(sr=cfg.data.mel_sr, hop=cfg.data.mel_hop,
-                           n_mels=cfg.data.n_mels)
-    hubert_fe = HubertFeatureExtractor(HubertConfig(dtype="bfloat16"))
-    pipe = FusedPipeline(stream, frontend, hubert_fe)
 
     secs = 60
 
@@ -70,27 +72,60 @@ def main():
     audio_16k = jnp.asarray(synth(16000))
     pid = jax.nn.one_hot(jnp.array([1]), cfg.model.style_dim)
 
+    def build_and_warm():
+        _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
+                                        jax.random.PRNGKey(0))
+        stream = StreamingGenerator(WindowGenerator(cfg, variables))
+        frontend = MelFrontend(sr=cfg.data.mel_sr, hop=cfg.data.mel_hop,
+                               n_mels=cfg.data.n_mels)
+        hubert_fe = HubertFeatureExtractor(HubertConfig(dtype="bfloat16"))
+        pipe = FusedPipeline(stream, frontend, hubert_fe)
+        pipe(audio_18k, audio_16k, pid,
+             jax.random.PRNGKey(0)).block_until_ready()
+        return pipe
+
+    def retry():
+        from diffsheg_tpu.utils.compile_cache import purge_persistent_cache
+        purge_persistent_cache()
+        jax.clear_caches()
+
+    pipe = build_guarded(
+        build_and_warm,
+        lambda p: p(audio_18k, audio_16k, pid,
+                    jax.random.PRNGKey(999)).block_until_ready(),
+        retry, metric, calib)
+
+    totals, host_frac = timed_reps(
+        lambda i: pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(i + 1)),
+        6)
     out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(0))
-    out.block_until_ready()
-
-    totals = []
-    for i in range(6):
-        t0 = time.perf_counter()
-        out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(i + 1))
-        out.block_until_ready()
-        totals.append(time.perf_counter() - t0)
-
     frames = int(out.shape[1])
+    spread = (max(totals) - min(totals)) / float(np.median(totals))
     fps = frames / min(totals)
+    median_fps = frames / float(np.median(totals))
+    ok = spread <= 0.30 and host_frac <= 0.5
     print(f"fused pipeline (best of 6): total={min(totals):.3f}s "
-          f"frames={frames} (CFG batch-doubled, overlap 10)",
+          f"frames={frames} (CFG batch-doubled, overlap 10) "
+          f"spread={spread:.1%} host_cpu_frac={host_frac:.3f}",
           file=sys.stderr)
-    print(json.dumps({
-        "metric": "show_generation_fps" + (f"_jn{jn}" if jn != 2 else ""),
-        "value": round(fps, 2),
+    record = {
+        "metric": metric,
+        "value": round(fps, 2) if ok else 0.0,
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 3),
-    }))
+        "vs_baseline": round(fps / baseline, 3) if ok else 0.0,
+        "median": round(median_fps, 2),
+        "spread_pct": round(100 * spread, 2),
+        "host_cpu_frac": round(host_frac, 3),
+        **calib.json_fields(),
+    }
+    if not ok:
+        record["valid"] = False
+        record["invalid_reason"] = (
+            f"spread {100 * spread:.1f}% > 30%" if spread > 0.30 else
+            f"timed reps ran on the host CPU (host_cpu_frac={host_frac:.2f})")
+    print(json.dumps(record))
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
