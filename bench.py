@@ -312,6 +312,8 @@ def main():
                                                 scan_stderr)
 
     def degraded_reason(scan, pipe_args):
+        if calib.backend == "cpu":
+            return None  # honest-CPU run (BENCH_ALLOW_CPU): host execution
         if scan.found(CPU_AOT_SIGNATURE):
             return (f"XLA:CPU AOT loader signature at executable load "
                     f"({scan.count(CPU_AOT_SIGNATURE)} loads)")
@@ -415,7 +417,8 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "none")
     layer_mode = os.environ.get("BENCH_FUSED_LAYER", "chain")
     spread_ok = spread <= SPREAD_LIMIT
-    locality_ok = host_frac <= HOST_EXEC_FRAC_LIMIT
+    locality_ok = (host_frac <= HOST_EXEC_FRAC_LIMIT
+                   or calib.backend == "cpu")
     ok = spread_ok and locality_ok
     record = {
         "metric": "beat_generation_fps" + (f"_jn{jn}" if jn != 2 else "")

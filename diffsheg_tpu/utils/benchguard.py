@@ -66,6 +66,8 @@ def build_guarded(build_and_warm: Callable[[], object],
     for attempt in (0, 1):
         with scan_stderr() as scan:
             built = build_and_warm()
+        if calib.backend == "cpu":
+            return built  # honest-CPU run: host execution is expected
         if scan.found(CPU_AOT_SIGNATURE):
             reason = (f"XLA:CPU AOT loader signature at executable load "
                       f"({scan.count(CPU_AOT_SIGNATURE)} loads)")

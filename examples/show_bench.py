@@ -103,7 +103,7 @@ def main():
     spread = (max(totals) - min(totals)) / float(np.median(totals))
     fps = frames / min(totals)
     median_fps = frames / float(np.median(totals))
-    ok = spread <= 0.30 and host_frac <= 0.5
+    ok = spread <= 0.30 and (host_frac <= 0.5 or calib.backend == "cpu")
     print(f"fused pipeline (best of 6): total={min(totals):.3f}s "
           f"frames={frames} (CFG batch-doubled, overlap 10) "
           f"spread={spread:.1%} host_cpu_frac={host_frac:.3f}",
