@@ -248,8 +248,9 @@ def main():
         # 60 s of synthetic speech-band audio -> 900 frames @ 15 fps.
         # The reference pipeline reads the 16 kHz waveform for HuBERT and
         # resamples to 18 kHz for mel (ddpm_beat_trainer.py:1236-1265);
-        # synthesize both rates from one analytic signal.
-        secs = 60
+        # synthesize both rates from one analytic signal.  BENCH_SECS
+        # shrinks the stream for logic smoke runs (NOT the headline).
+        secs = int(os.environ.get("BENCH_SECS", "60"))
 
         def synth(sr):
             t = np.arange(secs * sr) / sr
