@@ -148,6 +148,28 @@ def _calibration_checks() -> List[Tuple[Optional[bool], str, str]]:
         out.append((True, "calib-bandwidth",
                     f"h2d {res.h2d_mbps:.0f} MB/s, "
                     f"d2h {res.d2h_mbps:.0f} MB/s"))
+    # execution locality: a degraded service compiling FRESH for the
+    # matching host produces a CPU executable with NO loader warning and
+    # can pass the envelope probes minutes apart from a CPU-resident
+    # program (2026-08-20 incident); host-CPU burn during a blocking call
+    # is the per-program discriminator (~0.02 on-device vs ~1.0 on-host)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from diffsheg_tpu.utils.calibration import (HOST_EXEC_FRAC_LIMIT,
+                                                    host_cpu_fraction)
+        f = jax.jit(lambda a, b: (a @ b).sum())
+        a = jnp.ones((2048, 2048), jnp.bfloat16)
+        f(a, a).block_until_ready()  # compile outside the probe
+        wall, frac = host_cpu_fraction(
+            lambda: f(a, a).block_until_ready())
+        out.append((frac <= HOST_EXEC_FRAC_LIMIT, "calib-locality",
+                    f"host_cpu_frac {frac:.3f} over a {wall * 1e3:.1f} ms "
+                    f"call (limit {HOST_EXEC_FRAC_LIMIT}; above it the "
+                    f"'tpu' program is executing on this host)"))
+    except Exception as e:  # noqa: BLE001
+        out.append((False, "calib-locality", f"{type(e).__name__}: {e}"))
     return out
 
 
