@@ -215,23 +215,27 @@ def main():
     from diffsheg_tpu.utils.benchcfg import jump_config_baseline
     jn, baseline = jump_config_baseline({2: BASELINE_FPS, 5: 25.0})
 
-    cfg = beat_config()
-    cfg = cfg.replace(diffusion=dataclasses.replace(
-        cfg.diffusion, jump_n_sample=jn,
-        fused_step=os.environ.get("BENCH_FUSED_STEP", "auto"),
-        # serving config: the whole-branch chain kernel (exact same
-        # numerics class as the per-layer kernel — bench.py --check —
-        # at ~25% higher throughput; BENCH_FUSED_LAYER=auto for the
-        # per-layer rung)
-        fused_layer=os.environ.get("BENCH_FUSED_LAYER", "chain"),
-        # BENCH_QUANT=int8: weight-only int8 serving (approximate —
-        # quality drift measured by --check; PERF.md)
-        quantize=os.environ.get("BENCH_QUANT", "none")))
-    # TPU serving configuration: bfloat16 weights + compute in the sampler
-    # (MXU-native; measured 1.47x over f32 with ~0.4% relative output RMS
-    # deviation — see examples/perf_probe.py).  The frontend stays f32.
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bfloat16"))
+    def make_cfg(layer_mode):
+        cfg = beat_config()
+        cfg = cfg.replace(diffusion=dataclasses.replace(
+            cfg.diffusion, jump_n_sample=jn,
+            fused_step=os.environ.get("BENCH_FUSED_STEP", "auto"),
+            # serving config: the whole-branch chain kernel (exact same
+            # numerics class as the per-layer kernel — bench.py --check —
+            # at ~25% higher throughput; BENCH_FUSED_LAYER=auto for the
+            # per-layer rung)
+            fused_layer=layer_mode,
+            # BENCH_QUANT=int8: weight-only int8 serving (approximate —
+            # quality drift measured by --check; PERF.md)
+            quantize=os.environ.get("BENCH_QUANT", "none")))
+        # TPU serving configuration: bfloat16 weights + compute in the
+        # sampler (MXU-native; measured 1.47x over f32 with ~0.4% relative
+        # output RMS deviation — see examples/perf_probe.py).  The
+        # frontend stays f32.
+        return cfg.replace(model=dataclasses.replace(
+            cfg.model, compute_dtype="bfloat16"))
+
+    cfg = make_cfg(os.environ.get("BENCH_FUSED_LAYER", "chain"))
 
     def build_and_warm():
         _, variables = init_unidiffuser(cfg.model, cfg.data.n_poses,
@@ -330,30 +334,50 @@ def main():
                     f"(host_cpu_frac={frac:.2f} over a {wall:.2f}s call)")
         return None
 
-    with scan_stderr() as scan:
-        pipe, audio_18k, audio_16k, pid = build_and_warm()
-    reason = degraded_reason(scan, (audio_18k, audio_16k, pid))
+    # Kernel-mode ladder: when the degraded compile service lands the
+    # DEFAULT chain-kernel pipeline on the host even after a purge and a
+    # fresh in-process recompile (observed 2026-08-20: the service
+    # compiled the small calibration program to genuine TPU code at 116
+    # TFLOP/s while every fresh compile of the large Mosaic-heavy
+    # pipeline fell back to CPU), step down to smaller compiled programs
+    # that the service still handles: per-layer Pallas kernels ('auto',
+    # ~2700 FPS class), then pure XLA + level cache ('off', ~1600 FPS
+    # class) — both still far above the 55-FPS baseline and honestly
+    # labeled in the artifact ('fused_layer' field + metric suffix).
+    # BENCH_FUSED_LAYER pins a single mode (no ladder).  The purge/
+    # clear_caches retry stays in-process: an execve re-exec tears down
+    # the axon tunnel state without C++ cleanup and the child's first
+    # readback hangs (observed SIGABRT after the probe timeout).
+    from diffsheg_tpu.utils.compile_cache import purge_persistent_cache
+    pinned = os.environ.get("BENCH_FUSED_LAYER")
+    mode_ladder = [pinned] if pinned else ["chain", "auto", "off"]
+    pipe = None
+    reasons = []
+    layer_mode = mode_ladder[0]
+    for mode in mode_ladder:
+        cfg = make_cfg(mode)
+        reason = None
+        for attempt in (0, 1):
+            with scan_stderr() as scan:
+                pipe, audio_18k, audio_16k, pid = build_and_warm()
+            reason = degraded_reason(scan, (audio_18k, audio_16k, pid))
+            if reason is None:
+                break
+            n = purge_persistent_cache()
+            print(f"CPU fallback detected at warmup "
+                  f"(fused_layer={mode}, {reason}) — purged {n} cache "
+                  f"entries; clearing in-memory executables and "
+                  + ("recompiling fresh in-process" if attempt == 0 else
+                     "stepping down the kernel-mode ladder"),
+                  file=sys.stderr)
+            pipe = None
+            jax.clear_caches()
+        if reason is None:
+            layer_mode = mode
+            break
+        reasons.append(f"{mode}: {reason}")
     if reason is not None:
-        # most likely a poisoned cache: purge it, drop every in-memory
-        # executable, and retry ONCE in-process.  NOT a re-exec: execve
-        # tears down the axon plugin's tunnel state without C++ cleanup,
-        # and the exec'd child's first readback hangs (observed SIGABRT
-        # after the probe timeout) while a genuinely fresh process works
-        # fine.  jax.clear_caches() forces the rebuilt pipeline to
-        # re-trace and re-compile against the now-empty persistent cache
-        # — the same "fresh compile" the re-exec was after.
-        from diffsheg_tpu.utils.compile_cache import purge_persistent_cache
-        n = purge_persistent_cache()
-        print(f"CPU fallback detected at warmup ({reason}) — purged "
-              f"{n} cache entries; clearing in-memory executables and "
-              f"recompiling fresh in-process", file=sys.stderr)
-        del pipe
-        jax.clear_caches()
-        with scan_stderr() as scan:
-            pipe, audio_18k, audio_16k, pid = build_and_warm()
-        reason = degraded_reason(scan, (audio_18k, audio_16k, pid))
-    if reason is not None:
-        # detection on a freshly-compiled program: the service is degraded NOW
+        # every rung landed on the host: the service is degraded NOW
         print(json.dumps({
             "metric": "beat_generation_fps",
             "value": 0.0,
@@ -361,12 +385,17 @@ def main():
             "vs_baseline": 0.0,
             **calib.json_fields(),
             "valid": False,
-            "invalid_reason": "benched program runs on the host CPU even "
-                              "after a fresh compile — remote compile "
-                              "service is serving CPU fallbacks "
-                              f"(round-4 degraded mode): {reason}",
+            "invalid_reason": "benched program runs on the host CPU at "
+                              "every kernel-mode rung after fresh "
+                              "compiles — remote compile service is "
+                              "serving CPU fallbacks (round-4 degraded "
+                              "mode): " + "; ".join(reasons),
         }))
         sys.exit(1)
+    if layer_mode != mode_ladder[0]:
+        print(f"NOTE: headline measured at fused_layer={layer_mode} "
+              f"(degraded compile service rejected the larger rungs: "
+              + "; ".join(reasons) + ")", file=sys.stderr)
 
     # best-of-12: each rep is one ~0.33 s device dispatch; a dozen reps
     # costs ~4 s and de-noises the remote-tunnel timing jitter (observed
@@ -416,7 +445,6 @@ def main():
           file=sys.stderr)
 
     quant = os.environ.get("BENCH_QUANT", "none")
-    layer_mode = os.environ.get("BENCH_FUSED_LAYER", "chain")
     spread_ok = spread <= SPREAD_LIMIT
     locality_ok = (host_frac <= HOST_EXEC_FRAC_LIMIT
                    or calib.backend == "cpu")
@@ -433,8 +461,14 @@ def main():
         "spread_pct": round(100 * spread, 2),
         "host_cpu_frac": round(host_frac, 3),
         "reps": len(totals),
+        "fused_layer": layer_mode,
         **calib.json_fields(),
     }
+    if not pinned and layer_mode != "chain":
+        record["kernel_mode_note"] = (
+            "measured at a smaller kernel-mode rung; the degraded compile "
+            "service landed the larger rung(s) on the host CPU: "
+            + "; ".join(reasons))
     if not ok:
         record["valid"] = False
         record["invalid_reason"] = (
