@@ -316,6 +316,17 @@ def main():
                                                 host_cpu_fraction,
                                                 scan_stderr)
 
+    # Plausibility floor for a "tpu"-labelled measurement: the SLOWEST
+    # serving rung ever measured on this chip (f32, no kernels, no cache)
+    # is ~950 FPS; the A100 reference is 55.  A per-call rate below 100
+    # FPS on a TPU backend is not a slow configuration — it is execution
+    # that is not on the TPU at all.  This catches the remote-side CPU
+    # fallback (observed 2026-08-20 pm): no local loader warning AND a
+    # low local host_cpu_frac (the fallback executes in the remote
+    # service's host, so THIS process just blocks), ~35 s per 900-frame
+    # call — the only local evidence is the impossible rate.
+    MIN_PLAUSIBLE_TPU_FPS = 100.0
+
     def degraded_reason(scan, pipe_args):
         if calib.backend == "cpu":
             return None  # honest-CPU run (BENCH_ALLOW_CPU): host execution
@@ -326,12 +337,18 @@ def main():
         wall, frac = host_cpu_fraction(
             lambda: pipe(audio_18k, audio_16k, pid,
                          jax.random.PRNGKey(999)).block_until_ready())
+        n_frames = audio_18k.shape[1] // 1200  # mel hop -> 15 fps frames
         print(f"execution-locality probe: wall={wall:.3f}s "
-              f"host_cpu_frac={frac:.3f} "
-              f"(limit {HOST_EXEC_FRAC_LIMIT})", file=sys.stderr)
+              f"host_cpu_frac={frac:.3f} (limit {HOST_EXEC_FRAC_LIMIT}) "
+              f"rate={n_frames / wall:.0f} FPS "
+              f"(floor {MIN_PLAUSIBLE_TPU_FPS:.0f})", file=sys.stderr)
         if frac > HOST_EXEC_FRAC_LIMIT:
             return (f"pipeline executes on the host CPU "
                     f"(host_cpu_frac={frac:.2f} over a {wall:.2f}s call)")
+        if n_frames / wall < MIN_PLAUSIBLE_TPU_FPS:
+            return (f"pipeline rate {n_frames / wall:.0f} FPS is "
+                    f"implausible for any TPU rung (slowest ~950) — "
+                    f"remote-side CPU fallback")
         return None
 
     # Kernel-mode ladder: when the degraded compile service lands the
@@ -448,7 +465,9 @@ def main():
     spread_ok = spread <= SPREAD_LIMIT
     locality_ok = (host_frac <= HOST_EXEC_FRAC_LIMIT
                    or calib.backend == "cpu")
-    ok = spread_ok and locality_ok
+    plausible = (calib.backend == "cpu"
+                 or median_fps >= MIN_PLAUSIBLE_TPU_FPS)
+    ok = spread_ok and locality_ok and plausible
     record = {
         "metric": "beat_generation_fps" + (f"_jn{jn}" if jn != 2 else "")
         + (f"_{quant}" if quant != "none" else "")
@@ -471,13 +490,21 @@ def main():
             + "; ".join(reasons))
     if not ok:
         record["valid"] = False
-        record["invalid_reason"] = (
-            f"timing spread {100 * spread:.1f}% > {100 * SPREAD_LIMIT:.0f}% "
-            f"after retry — unstable timing path (measured best-of "
-            f"{round(fps, 2)} FPS not certified)") if not spread_ok else (
-            f"measured reps executed on the host CPU "
-            f"(host_cpu_frac={host_frac:.2f}) — CPU fallback, not a TPU "
-            f"measurement")
+        if not spread_ok:
+            record["invalid_reason"] = (
+                f"timing spread {100 * spread:.1f}% > "
+                f"{100 * SPREAD_LIMIT:.0f}% after retry — unstable timing "
+                f"path (measured best-of {round(fps, 2)} FPS not certified)")
+        elif not locality_ok:
+            record["invalid_reason"] = (
+                f"measured reps executed on the host CPU "
+                f"(host_cpu_frac={host_frac:.2f}) — CPU fallback, not a "
+                f"TPU measurement")
+        else:
+            record["invalid_reason"] = (
+                f"median {round(median_fps, 2)} FPS is implausible for "
+                f"any TPU rung (slowest ~950) — remote-side CPU fallback, "
+                f"not a TPU measurement")
     print(json.dumps(record))
     if not ok:
         sys.exit(1)
