@@ -236,9 +236,14 @@ def measure(batch: int, dtype: str, reps: int = 8, pipeline: bool = False,
 
 
 def _check_row(r):
-    """Refuse to publish a resident-batch row whose timed reps ran on the
-    host CPU (the round-4/5 silent-fallback mode); pipelined rows carry
-    the fraction but legitimately spend host CPU in the loader."""
+    """Refuse to publish a resident-batch row whose timed reps did not run
+    on the TPU: local host execution shows as host_cpu_frac ~1 (round-4/5
+    silent-fallback mode); REMOTE-side CPU fallback leaves this process
+    idle, so the only local evidence is the impossible step time — any
+    healthy TPU train step at batch <= 2500 completes in well under 10 s
+    (measured 260 ms at batch 1024), while the CPU fallback takes minutes.
+    Pipelined rows carry the fraction but legitimately spend host CPU in
+    the loader."""
     from diffsheg_tpu.utils.calibration import HOST_EXEC_FRAC_LIMIT
     if os.environ.get("TRAIN_BENCH_ALLOW_CPU"):
         return r  # honest-CPU smoke run: host execution is the point
@@ -248,6 +253,12 @@ def _check_row(r):
                           "invalid_reason": "timed steps executed on the "
                           "host CPU (CPU fallback, not a TPU measurement)"}),
               flush=True)
+        sys.exit(1)
+    if r.get("step_ms", 0) > 10_000:
+        print(json.dumps({**r, "valid": False,
+                          "invalid_reason": "step time implausible for a "
+                          "TPU (>10 s) — remote-side CPU fallback, not a "
+                          "TPU measurement"}), flush=True)
         sys.exit(1)
     return r
 
