@@ -53,15 +53,18 @@ def build_guarded(build_and_warm: Callable[[], object],
                   probe_call: Callable[[object], None],
                   retry: Callable[[], None],
                   metric: str, calib: CalibrationResult,
-                  unit: str = "frames/s"):
+                  unit: str = "frames/s",
+                  max_probe_wall: float = float("inf")):
     """Build + warm a pipeline with per-program fallback detection.
 
     ``build_and_warm()`` constructs and warms the program(s) under test;
     ``probe_call(built)`` runs ONE blocking call of the program that will
-    be timed.  On a load-signature hit or a locality breach, ``retry()``
-    is invoked (purge caches / clear executables) and the build runs once
-    more; a second detection prints an invalid artifact and exits 1.
-    Returns the built object.
+    be timed.  On a load-signature hit, a locality breach, or a probe
+    call slower than ``max_probe_wall`` (the plausibility floor that
+    catches REMOTE-side CPU fallback — no local warning, idle local
+    process, impossibly slow call), ``retry()`` is invoked (purge caches
+    / clear executables) and the build runs once more; a second detection
+    prints an invalid artifact and exits 1.  Returns the built object.
     """
     for attempt in (0, 1):
         with scan_stderr() as scan:
@@ -74,12 +77,15 @@ def build_guarded(build_and_warm: Callable[[], object],
         else:
             wall, frac = host_cpu_fraction(lambda: probe_call(built))
             print(f"execution-locality probe: wall={wall:.3f}s "
-                  f"host_cpu_frac={frac:.3f} (limit {HOST_EXEC_FRAC_LIMIT})",
-                  file=sys.stderr)
-            if frac <= HOST_EXEC_FRAC_LIMIT:
+                  f"host_cpu_frac={frac:.3f} (limit {HOST_EXEC_FRAC_LIMIT}) "
+                  f"max_wall={max_probe_wall:.1f}s", file=sys.stderr)
+            if frac <= HOST_EXEC_FRAC_LIMIT and wall <= max_probe_wall:
                 return built
-            reason = (f"program executes on the host CPU "
-                      f"(host_cpu_frac={frac:.2f} over a {wall:.2f}s call)")
+            reason = ((f"program executes on the host CPU "
+                       f"(host_cpu_frac={frac:.2f} over a {wall:.2f}s "
+                       f"call)") if frac > HOST_EXEC_FRAC_LIMIT else
+                      (f"probe call took {wall:.1f}s > {max_probe_wall:.1f}s "
+                       f"plausibility floor — remote-side CPU fallback"))
         if attempt == 0:
             print(f"CPU fallback detected at warmup ({reason}) — "
                   f"purging and recompiling fresh in-process",

@@ -89,11 +89,14 @@ def main():
         purge_persistent_cache()
         jax.clear_caches()
 
+    # plausibility floor: 60 s @ 30 fps = 1800 frames; any genuine TPU
+    # rung clears 100 FPS by an order of magnitude
     pipe = build_guarded(
         build_and_warm,
         lambda p: p(audio_18k, audio_16k, pid,
                     jax.random.PRNGKey(999)).block_until_ready(),
-        retry, metric, calib)
+        retry, metric, calib,
+        max_probe_wall=secs * 30 / 100.0)
 
     totals, host_frac = timed_reps(
         lambda i: pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(i + 1)),
@@ -103,7 +106,8 @@ def main():
     spread = (max(totals) - min(totals)) / float(np.median(totals))
     fps = frames / min(totals)
     median_fps = frames / float(np.median(totals))
-    ok = spread <= 0.30 and (host_frac <= 0.5 or calib.backend == "cpu")
+    ok = spread <= 0.30 and (calib.backend == "cpu"
+                             or (host_frac <= 0.5 and median_fps >= 100))
     print(f"fused pipeline (best of 6): total={min(totals):.3f}s "
           f"frames={frames} (CFG batch-doubled, overlap 10) "
           f"spread={spread:.1%} host_cpu_frac={host_frac:.3f}",
@@ -122,7 +126,10 @@ def main():
         record["valid"] = False
         record["invalid_reason"] = (
             f"spread {100 * spread:.1f}% > 30%" if spread > 0.30 else
-            f"timed reps ran on the host CPU (host_cpu_frac={host_frac:.2f})")
+            f"timed reps ran on the host CPU (host_cpu_frac={host_frac:.2f})"
+            if host_frac > 0.5 else
+            f"median {median_fps:.0f} FPS implausible for any TPU rung — "
+            f"remote-side CPU fallback")
     print(json.dumps(record))
     if not ok:
         sys.exit(1)
