@@ -215,7 +215,13 @@ def main():
     from diffsheg_tpu.utils.benchcfg import jump_config_baseline
     jn, baseline = jump_config_baseline({2: BASELINE_FPS, 5: 25.0})
 
-    def make_cfg(layer_mode):
+    def make_cfg(mode):
+        # mode: '<fused_layer>' for the single-dispatch fused pipeline, or
+        # 'staged:<fused_layer>' for the host-window-loop rung (three
+        # smaller compiled programs: mel, HuBERT, per-window sampler —
+        # the reference's own stage structure, for days when the compile
+        # service rejects every large program)
+        layer = mode.split(":")[-1]
         cfg = beat_config()
         cfg = cfg.replace(diffusion=dataclasses.replace(
             cfg.diffusion, jump_n_sample=jn,
@@ -224,7 +230,7 @@ def main():
             # numerics class as the per-layer kernel — bench.py --check —
             # at ~25% higher throughput; BENCH_FUSED_LAYER=auto for the
             # per-layer rung)
-            fused_layer=layer_mode,
+            fused_layer=layer,
             # BENCH_QUANT=int8: weight-only int8 serving (approximate —
             # quality drift measured by --check; PERF.md)
             quantize=os.environ.get("BENCH_QUANT", "none")))
@@ -235,6 +241,7 @@ def main():
         return cfg.replace(model=dataclasses.replace(
             cfg.model, compute_dtype="bfloat16"))
 
+    staged_mode = False
     cfg = make_cfg(os.environ.get("BENCH_FUSED_LAYER", "chain"))
 
     def build_and_warm():
@@ -286,10 +293,26 @@ def main():
                   f"sampler={t3-t2:.3f}s total={t3-t0:.3f}s",
                   file=sys.stderr)
 
-        # the serving path: the SAME three stages traced into ONE
-        # program — a 60 s clip costs a single device dispatch
-        from diffsheg_tpu.sampling.pipeline import FusedPipeline
-        pipe = FusedPipeline(stream, frontend, hubert_fe)
+        if staged_mode:
+            # host-window-loop rung: mel, HuBERT and the per-window
+            # sampler stay three SEPARATE compiled programs and the
+            # window loop runs on the host (the reference's own stage
+            # structure, ddpm_beat_trainer.py:1236-1315).  Slower than
+            # the fused pipeline by ~1 dispatch per stage + window
+            # (~25-30 ms each here), but each program is small enough
+            # for a compile service that rejects the fused one.
+            class StagedPipe:
+                def __call__(self, a18, a16, pid, key):
+                    mel = frontend(a18)
+                    hub = hubert_fe(a16, target_frames=mel.shape[1])
+                    return stream.generate(mel, pid, key, hubert=hub)
+
+            pipe = StagedPipe()
+        else:
+            # the serving path: the SAME three stages traced into ONE
+            # program — a 60 s clip costs a single device dispatch
+            from diffsheg_tpu.sampling.pipeline import FusedPipeline
+            pipe = FusedPipeline(stream, frontend, hubert_fe)
         out = pipe(audio_18k, audio_16k, pid, jax.random.PRNGKey(0))
         out.block_until_ready()
         return pipe, audio_18k, audio_16k, pid
@@ -367,12 +390,14 @@ def main():
     # readback hangs (observed SIGABRT after the probe timeout).
     from diffsheg_tpu.utils.compile_cache import purge_persistent_cache
     pinned = os.environ.get("BENCH_FUSED_LAYER")
-    mode_ladder = [pinned] if pinned else ["chain", "auto", "off"]
+    mode_ladder = ([pinned] if pinned else
+                   ["chain", "auto", "off", "staged:chain", "staged:off"])
     pipe = None
     reasons = []
     layer_mode = mode_ladder[0]
     for mode in mode_ladder:
         cfg = make_cfg(mode)
+        staged_mode = mode.startswith("staged")
         reason = None
         for attempt in (0, 1):
             with scan_stderr() as scan:
@@ -471,7 +496,8 @@ def main():
     record = {
         "metric": "beat_generation_fps" + (f"_jn{jn}" if jn != 2 else "")
         + (f"_{quant}" if quant != "none" else "")
-        + (f"_{layer_mode}" if layer_mode != "chain" else ""),
+        + (f"_{layer_mode.replace(':', '_')}"
+           if layer_mode != "chain" else ""),
         "value": round(fps, 2) if ok else 0.0,
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3) if ok else 0.0,
