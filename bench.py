@@ -406,14 +406,26 @@ def main():
             if reason is None:
                 break
             n = purge_persistent_cache()
+            # a same-rung retry only helps when the failure came from a
+            # POISONED CACHE entry (the load signature): the purge fixes
+            # exactly that.  A locality/plausibility breach on what was
+            # already a fresh compile means the service is degrading THIS
+            # rung right now — rebuilding it again just re-measures the
+            # same degradation (observed 8/8 identical retry outcomes),
+            # so step down the ladder immediately.
+            fresh_failure = CPU_AOT_SIGNATURE not in reason \
+                and "loader signature" not in reason
             print(f"CPU fallback detected at warmup "
                   f"(fused_layer={mode}, {reason}) — purged {n} cache "
                   f"entries; clearing in-memory executables and "
-                  + ("recompiling fresh in-process" if attempt == 0 else
-                     "stepping down the kernel-mode ladder"),
+                  + ("stepping down the kernel-mode ladder"
+                     if (attempt == 1 or fresh_failure)
+                     else "recompiling fresh in-process"),
                   file=sys.stderr)
             pipe = None
             jax.clear_caches()
+            if fresh_failure:
+                break
         if reason is None:
             layer_mode = mode
             break
